@@ -1,0 +1,147 @@
+"""Top-level facade — the Python analogue of the gds.* procedure surface.
+
+Mirrors the four result modes of every GDS procedure family
+(stream / stats / mutate / write, OpenGdsProcedureSmokeTest.java:45-536):
+  .stream()  -> result DataFrame
+  .stats()   -> summary dict (histogram percentiles etc.,
+                CommunityCompanion.java:42+)
+  .mutate()  -> write the result as a node property into the catalog graph
+  .write()   -> append the result to an external table path
+
+plus .estimate() stubs mirroring the memory-estimation surface
+(AlgorithmRunner.java:103-115) with a rows×width model — Spark's memory
+manager spills instead of refusing, so the estimate is advisory (used to
+pick broadcast vs shuffle strategies).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.plans.catalog import GraphCatalog
+from graph_data_science_spark.plans.graph import Graph
+from graph_data_science_spark.operators import degree as _degree
+from graph_data_science_spark.operators import lpa as _lpa
+from graph_data_science_spark.operators import pagerank as _pagerank
+from graph_data_science_spark.operators import triangle as _triangle
+from graph_data_science_spark.operators import wcc as _wcc
+
+
+@dataclass
+class ModeResult:
+    """Wraps an algorithm result DataFrame with the four GDS modes."""
+
+    df: DataFrame
+    value_col: str
+    extra: dict[str, Any]
+    catalog: GraphCatalog | None = None
+    graph_name: str | None = None
+
+    def stream(self) -> DataFrame:
+        return self.df
+
+    def stats(self, percentiles=(0.5, 0.75, 0.9, 0.95, 0.99)) -> dict[str, Any]:
+        c = F.col(self.value_col).cast("double")
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.avg(c).alias("mean"),
+            F.percentile_approx(c, list(percentiles)).alias("percentiles"),
+        ).collect()[0]
+        out = dict(self.extra)
+        out.update(
+            count=row["count"], min=row["min"], max=row["max"], mean=row["mean"],
+            percentiles=dict(zip([f"p{int(p*100)}" for p in percentiles], row["percentiles"] or [])),
+        )
+        return out
+
+    def mutate(self, property_name: str) -> None:
+        if self.catalog is None or self.graph_name is None:
+            raise ValueError("mutate requires a catalog-backed graph")
+        self.catalog.mutate_node_property(self.graph_name, self.df, property_name)
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).parquet(path)
+
+
+def _mode(df, value_col, extra, catalog=None, graph_name=None) -> ModeResult:
+    return ModeResult(df=df, value_col=value_col, extra=extra, catalog=catalog,
+                      graph_name=graph_name)
+
+
+class Algo:
+    """gds.<algo> facade bound to a Graph (optionally catalog-backed)."""
+
+    def __init__(self, graph: Graph, catalog: GraphCatalog | None = None):
+        self.graph = graph
+        self.catalog = catalog
+
+    # -- centrality -------------------------------------------------------
+    def page_rank(self, **kw) -> ModeResult:
+        r = _pagerank.page_rank(self.graph, **kw)
+        return _mode(r.scores, "score",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def article_rank(self, **kw) -> ModeResult:
+        r = _pagerank.article_rank(self.graph, **kw)
+        return _mode(r.scores, "score",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def eigenvector(self, **kw) -> ModeResult:
+        r = _pagerank.eigenvector(self.graph, **kw)
+        return _mode(r.scores, "score",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def degree(self, **kw) -> ModeResult:
+        return _mode(_degree.degree_centrality(self.graph, **kw), "score", {},
+                     self.catalog, self.graph.name)
+
+    # -- community --------------------------------------------------------
+    def wcc(self, **kw) -> ModeResult:
+        r = _wcc.wcc(self.graph, **kw)
+        comp_count = r.components.select("component").distinct().count()
+        return _mode(r.components, "component",
+                     {"componentCount": comp_count, "ranIterations": r.ran_iterations,
+                      "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def label_propagation(self, **kw) -> ModeResult:
+        r = _lpa.label_propagation(self.graph, **kw)
+        n_comm = r.labels.select("label").distinct().count()
+        return _mode(r.labels, "label",
+                     {"communityCount": n_comm, "ranIterations": r.ran_iterations,
+                      "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def triangle_count(self, **kw) -> ModeResult:
+        r = _triangle.triangle_count(self.graph, **kw)
+        return _mode(r.per_node, "triangles", {"globalTriangleCount": r.global_count},
+                     self.catalog, self.graph.name)
+
+    def local_clustering_coefficient(self) -> ModeResult:
+        df = _triangle.local_clustering_coefficient(self.graph)
+        return _mode(df, "coefficient", {}, self.catalog, self.graph.name)
+
+    # -- estimate stubs ---------------------------------------------------
+    def estimate(self, algo: str) -> dict[str, Any]:
+        """rows×width advisory estimate (reference pins exact bytes via
+        MemoryEstimations; Spark spills instead, so this only steers
+        broadcast-vs-shuffle choices)."""
+        n = self.graph.node_count()
+        m = self.graph.edge_count()
+        per_node = {"page_rank": 8 * 4, "wcc": 8 * 2, "label_propagation": 8 * 3,
+                    "triangle_count": 8 * 2, "degree": 8}.get(algo, 8 * 4)
+        return {
+            "nodeCount": n,
+            "relationshipCount": m,
+            "bytesMin": n * per_node + m * 8,
+            "bytesMax": n * per_node * 2 + m * 16,
+        }

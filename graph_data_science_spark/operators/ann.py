@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute_force_topk: exact cosine top-k. One broadcast of the query set
+    against a full scan — linear, embarrassingly parallel, the baseline
+    and the verifier. All math in Column expressions (zip_with +
+    aggregate → JVM codegen).
+  - lsh_topk: random-hyperplane LSH — embeddings are bucketed by the
+    sign-pattern of projections onto D deterministic pseudo-random
+    hyperplanes (hash-derived ±1 components, no RNG state); top-k is
+    searched only within matching buckets (multi-probe over B tables).
+    This is the 100 TB path: the bucket join replaces the full cross
+    product; recall < 1 by construction, tunable via (planes, tables).
+
+Also: embedding_near_duplicates — cosine >= threshold pairs via the
+same LSH bucketing (the embedding leg of the dedup suite).
+
+The reference's analogues are gds.similarity.knn / nodeSimilarity
+(algo/.../similarity); those operate on graph-derived vectors, these on
+an arbitrary embedding column — same contract (top-k per query by a
+similarity measure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.functions.similarity import cosine
+
+
+def _norm_sq(c: Column) -> Column:
+    return F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (id_col, vec_col) — typically a small set; it is broadcast
+    so the big side streams without a shuffle. Self-matches excluded.
+    Returns (query_id, neighbor_id, cosine_sim) with rank <= k,
+    deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        base.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def _hyperplane(plane: int, dim: int, table: int = 0) -> Column:
+    """Deterministic ±1 hyperplane as an array column: component j =
+    sign(xxhash64(table, plane, j))."""
+    return F.array(
+        *[
+            F.when(F.xxhash64(F.lit(table), F.lit(plane), F.lit(j)) % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            for j in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
+    """Sign-pattern bucket id in [0, 2^planes) for one hash table."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        h = _hyperplane(p, dim, table)
+        proj = F.aggregate(F.zip_with(vec, h, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any of the
+    hash tables; exact cosine re-rank within candidates."""
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cands = None
+    for t in range(tables):
+        b_base = base.withColumn("bucket", lsh_bucket(F.col("nv"), dim, planes, t)).withColumn(
+            "tbl", F.lit(t)
+        )
+        b_q = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes, t)).withColumn(
+            "tbl", F.lit(t)
+        )
+        joined = b_base.join(F.broadcast(b_q), ["tbl", "bucket"]).select(
+            "query_id", "neighbor_id", "qv", "nv"
+        )
+        cands = joined if cands is None else cands.unionByName(joined)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, via LSH bucketing
+    (pairs must collide in some table). Returns (a, b, cosine_sim)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = None
+    for t in range(tables):
+        b = base.withColumn("bucket", lsh_bucket(F.col("v"), dim, planes, t))
+        left = b.select(F.col("bucket"), F.col("id").alias("a"), F.col("v").alias("va"))
+        right = b.select(F.col("bucket"), F.col("id").alias("b"), F.col("v").alias("vb"))
+        j = left.join(right, "bucket").filter(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
+        pairs = j if pairs is None else pairs.unionByName(j)
+    pairs = pairs.dropDuplicates(["a", "b"])
+    return (
+        pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

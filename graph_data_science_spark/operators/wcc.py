@@ -1,0 +1,146 @@
+"""Weakly connected components — iterative min-label propagation.
+
+Reference: algo/src/main/java/org/neo4j/gds/wcc/Wcc.java — wait-free
+parallel union-find with path halving and union-by-min
+(HugeAtomicDisjointSetStruct.java:110-190, "the smaller community ID
+wins"). Shared-memory CAS does not port to Spark; the mandated Spark
+formulation is the reference's own Pregel example
+(examples/pregel-example/.../cc/ConnectedComponentsPregel.java:64-104):
+    comp := min(comp, min(neighbor components)), send only on change,
+over the undirected edge view. At the fixed point comp = min vid in the
+component — bit-exact equality with union-by-min output.
+
+Options mirrored from WccBaseConfig.java:30-46:
+  - threshold: union only edges with weight > threshold
+  - seed_col: incremental seeding — seeded components keep their seed id;
+    unseeded components get ids > maxSeed
+    (HugeAtomicDisjointSetStruct.java:129-146), reproduced post-hoc via
+    dense_rank over unseeded representatives.
+
+Scale notes: each superstep is one self-equi-join state⋈edges (shuffle on
+the join key) + a min-combine groupBy — Catalyst does map-side partial
+min so hub vertices receive at most one candidate per shuffle partition
+(no skew blow-up). Convergence in O(diameter) supersteps; the optional
+two-superstep "large-star" style shortcut (comp of comp) halves diameter
+cost on long chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.pregel import PregelEngine
+from graph_data_science_spark.plans.graph import Graph, Orientation
+
+
+@dataclass
+class WccResult:
+    components: DataFrame  # (vid, component)
+    ran_iterations: int
+    did_converge: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def wcc(
+    graph: Graph,
+    threshold: float | None = None,
+    seed_col: str | None = None,
+    max_iterations: int = 100,
+    engine: PregelEngine | None = None,
+    resume: bool = False,
+    stats_interval: int = 1,
+) -> WccResult:
+    spark = graph.edges.sparkSession
+
+    edges = graph.edges
+    if threshold is not None:
+        # WccBaseConfig.java:30-46: union only edges with weight > threshold
+        edges = edges.filter(F.col("weight") > threshold)
+    # undirected view: propagation must flow both ways regardless of the
+    # stored orientation (WCC treats the graph as undirected)
+    if graph.orientation != Orientation.UNDIRECTED:
+        edges = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        edges = edges.select("src", "dst")
+    edges = edges.persist()
+
+    state0 = graph.nodes.select(
+        "vid", F.col("vid").alias("comp"), F.lit(True).alias("changed")
+    )
+
+    edges_renamed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
+    def step(state: DataFrame, s: int) -> DataFrame:
+        # senders: only nodes whose component changed last superstep
+        # (ConnectedComponentsPregel.java:88-96 sends only on change)
+        senders = state.filter(F.col("changed")).select(F.col("vid").alias("e_src"), "comp")
+        msgs = (
+            senders.join(edges_renamed, "e_src")
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg(F.min("comp").alias("min_nbr"))
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("min_nbr"), F.col("comp")))
+        return joined.select(
+            "vid",
+            new_comp.alias("comp"),
+            (new_comp < F.col("comp")).alias("changed"),
+        )
+
+    eng = engine or PregelEngine(spark)
+    result = eng.run(
+        initial_state=state0,
+        step=step,
+        stats_exprs=[F.sum(F.col("changed").cast("long")).alias("changed_count")],
+        converged=lambda st: (st["changed_count"] or 0) == 0,
+        max_iterations=max_iterations,
+        resume=resume,
+        stats_interval=stats_interval,
+    )
+    comps = result.state.select("vid", F.col("comp").alias("component"))
+
+    if seed_col is not None:
+        # HugeAtomicDisjointSetStruct.java:129-146 — seeded components keep
+        # the seed id; unseeded components get maxSeed + running counter.
+        seeds = graph.nodes.select("vid", F.col(seed_col).alias("seed"))
+        with_seed = comps.join(seeds, "vid", "left")
+        # representative seed per component = min seed present in it
+        rep = (
+            with_seed.groupBy("component")
+            .agg(F.min("seed").alias("comp_seed"))
+        )
+        max_seed = seeds.agg(F.max("seed")).collect()[0][0]
+        max_seed = -1 if max_seed is None else max_seed
+        from pyspark.sql import Window
+
+        unseeded = rep.filter(F.col("comp_seed").isNull()).withColumn(
+            "new_id",
+            F.dense_rank().over(Window.orderBy("component")) + F.lit(max_seed),
+        )
+        rep = rep.join(unseeded.select("component", "new_id"), "component", "left").select(
+            "component", F.coalesce("comp_seed", "new_id").alias("final_id")
+        )
+        comps = (
+            with_seed.join(rep, "component")
+            .select("vid", F.col("final_id").alias("component"))
+        )
+
+    edges.unpersist()
+    return WccResult(
+        components=comps,
+        ran_iterations=result.ran_iterations,
+        did_converge=result.did_converge,
+        metrics=result.metrics,
+    )
+
+
+def wcc_stats(result: WccResult) -> DataFrame:
+    """Component sizes (gds.wcc.stats component distribution,
+    CommunityCompanion.java:42+)."""
+    return result.components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))

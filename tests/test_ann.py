@@ -1,0 +1,64 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.ann import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    # 40,41: near-duplicates of vector 0
+    base = rows[0][1]
+    rows.append((40, [x + 0.001 for x in base]))
+    rows.append((41, [x * 1.0001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_exact(spark, vecs):
+    queries = vecs.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(vecs, queries, k=3).collect()
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    expected = sorted(
+        ((i, _cos(rows[0], v)) for i, v in rows.items() if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    got_sorted = sorted(got, key=lambda r: r["rnk"])
+    assert [r["neighbor_id"] for r in got_sorted] == [i for i, _ in expected]
+    for r, (_, sim) in zip(got_sorted, expected):
+        assert r["cosine_sim"] == pytest.approx(round(sim, 4), abs=1e-4)
+
+
+def test_lsh_topk_finds_near_duplicates(spark, vecs):
+    # near-identical vectors always share every sign bucket -> recall 1
+    queries = vecs.filter(F.col("vec_id") == 0)
+    got = lsh_topk(vecs, queries, dim=DIM, k=3, planes=6, tables=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert ids[:2] == [40, 41] or ids[:2] == [41, 40]
+
+
+def test_embedding_near_duplicates(spark, vecs):
+    pairs = {(r["a"], r["b"]) for r in
+             embedding_near_duplicates(vecs, dim=DIM, threshold=0.999).collect()}
+    assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
+    assert all(a in (0, 40, 41) and b in (0, 40, 41) for a, b in pairs)

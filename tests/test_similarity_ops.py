@@ -1,0 +1,91 @@
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.community_utils import (
+    community_size_stats,
+    consecutive_ids,
+    filter_min_community_size,
+)
+from graph_data_science_spark.operators.similarity import (
+    filtered_node_similarity,
+    knn_node_properties,
+    node_similarity,
+)
+from graph_data_science_spark.plans.graph import Graph
+
+
+@pytest.fixture(scope="module")
+def sim_graph(spark):
+    # 0 and 1 both point at {10, 11}; 2 points at {10}; 3 points at {12}
+    edges = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 11, 1.0), (1, 10, 1.0), (1, 11, 1.0),
+         (2, 10, 1.0), (3, 12, 1.0)],
+        "src long, dst long, weight double",
+    )
+    return Graph.from_edges(edges)
+
+
+def test_node_similarity_jaccard(spark, sim_graph):
+    got = {(r["node1"], r["node2"]): r["similarity"]
+           for r in node_similarity(sim_graph).collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(1, 0)] == pytest.approx(1.0)
+    assert got[(0, 2)] == pytest.approx(0.5)  # |{10}| / |{10,11}|
+    assert (0, 3) not in got  # no shared neighbor
+    assert (10, 11) not in got  # sinks have no out-neighbors
+
+
+def test_node_similarity_overlap_and_topk(spark, sim_graph):
+    got = node_similarity(sim_graph, metric="overlap", top_k=1).collect()
+    per_node1 = {}
+    for r in got:
+        per_node1.setdefault(r["node1"], []).append(r)
+    assert all(len(v) == 1 for v in per_node1.values())
+    best0 = per_node1[0][0]
+    assert best0["node2"] == 1 and best0["similarity"] == pytest.approx(1.0)
+
+
+def test_node_similarity_degree_cutoff(spark, sim_graph):
+    got = {(r["node1"], r["node2"]) for r in
+           node_similarity(sim_graph, degree_cutoff=2).collect()}
+    assert got == {(0, 1), (1, 0)}  # node 2 (deg 1) excluded
+
+
+def test_filtered_node_similarity(spark, sim_graph):
+    flt = spark.createDataFrame([(0,)], "vid long")
+    got = {r["node1"] for r in
+           filtered_node_similarity(sim_graph, source_filter=flt).collect()}
+    assert got == {0}
+
+
+def test_knn_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    nodes = spark.createDataFrame(rows, "vid long, emb array<double>")
+    got = knn_node_properties(nodes, "emb", k=1).collect()
+    best = {r["query_id"]: r["neighbor_id"] for r in got}
+    assert best[0] == 1 and best[1] == 0
+
+
+def test_consecutive_ids(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 507), (3, 4)], "vid long, component long"
+    )
+    out = {r["vid"]: r["component"] for r in consecutive_ids(df).collect()}
+    assert out == {3: 0, 0: 1, 1: 1, 2: 2}
+
+
+def test_min_community_size(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2)], "vid long, component long"
+    )
+    out = {r["vid"] for r in filter_min_community_size(df, 2).collect()}
+    assert out == {0, 1}
+
+
+def test_community_stats(spark):
+    df = spark.createDataFrame(
+        [(i, i // 3) for i in range(9)], "vid long, component long"
+    )
+    st = community_size_stats(df)
+    assert st["communityCount"] == 3
+    assert st["min"] == 3 and st["max"] == 3
