@@ -70,7 +70,11 @@ def label_propagation(
             graph, max_iterations, seed_col, node_weight_col
         )
     spark = graph.edges.sparkSession
-    edges = graph.edges.persist()
+    # co-partition + sort once on the gather key (dst), reuse per superstep
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
+    )
 
     nodes = graph.nodes
     if seed_col is not None:

@@ -38,7 +38,7 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.col("id") % 3 + 1).cast("int")).alias("kind"),
-        F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 512).cast("binary").alias("payload"),
+        F.unhex(F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 512)).alias("payload"),
         F.struct(
             ((F.col("id") % 16 + 1) * 32).cast("int").alias("width"),
             ((F.col("id") % 9 + 1) * 32).cast("int").alias("height"),

@@ -125,8 +125,18 @@ def page_rank(
         n_nodes = graph.nodes.count()
 
     msg_val = (F.col("contrib")) * (F.col("weight") if weighted else F.lit(1.0))
-    edges_renamed = edges.select(
-        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "weight"
+    # Pre-shuffle the edge table ONCE: hash-partitioned + sorted on the
+    # join key, then cached. The cached InMemoryRelation preserves
+    # outputPartitioning/outputOrdering, so every superstep's
+    # senders ⋈ edges reuses it — only the (small) sender side shuffles.
+    # At 10^9+ edges this is the difference between shuffling the edge
+    # table per superstep and never shuffling it again.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_renamed = (
+        edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "weight")
+        .repartition(n_part, "e_src")
+        .sortWithinPartitions("e_src")
+        .persist()
     )
 
     def step(state: DataFrame, s: int) -> DataFrame:
@@ -187,6 +197,7 @@ def page_rank(
     )
     if dangling_ids is not None:
         dangling_ids.unpersist()
+    edges_renamed.unpersist()
 
     scores = result.state.select("vid", F.col("rank").alias("score"))
     if normalized:
@@ -249,18 +260,21 @@ def eigenvector(
             # (A + I) x: self rank + incoming, keeps disconnected masses stable
             (F.col("rank") + F.coalesce(F.col("msg_sum"), F.lit(0.0))).alias("new_raw"),
         )
-        # masterCompute L2 normalization (EigenvectorComputation.java:116-160)
-        # as a broadcast scalar subquery — no driver round-trip per superstep
-        norm_df = raw.agg(
-            F.greatest(
-                F.sqrt(F.sum(F.col("new_raw") * F.col("new_raw"))), F.lit(1e-300)
-            ).alias("_norm")
-        )
-        return raw.crossJoin(F.broadcast(norm_df)).select(
+        # masterCompute L2 normalization (EigenvectorComputation.java:116-160):
+        # one driver-side aggregate per superstep. (A broadcast scalar
+        # subquery would avoid the round-trip but deadlocks when the
+        # engine materializes the persisted state — BroadcastExchange
+        # inside an InMemoryRelation build; the collect is cheap and the
+        # reference does masterCompute on the driver too.)
+        raw = raw.persist()
+        norm = raw.agg(
+            F.sqrt(F.sum(F.col("new_raw") * F.col("new_raw")))
+        ).collect()[0][0] or 1.0
+        return raw.select(
             "vid",
             "deg",
-            (F.col("new_raw") / F.col("_norm")).alias("rank"),
-            F.abs(F.col("new_raw") / F.col("_norm") - F.col("rank")).alias("delta"),
+            (F.col("new_raw") / F.lit(norm)).alias("rank"),
+            F.abs(F.col("new_raw") / F.lit(norm) - F.col("rank")).alias("delta"),
         )
 
     eng = engine or PregelEngine(spark)

@@ -1,0 +1,165 @@
+"""Path-finding operators: BFS levels, single-source shortest paths,
+topological sort — the tractable slice of the reference's path family.
+
+Reference anchors:
+  - BFS: algo/.../traversal/BFS.java (+ Pregel example bfs/ — level &
+    parent variants).
+  - SSSP: gds.allShortestPaths.delta (delta-stepping,
+    algo/.../paths/delta/DeltaStepping.java) and the Pregel SSSP
+    example. A BSP fixpoint (Bellman-Ford relaxation) computes the
+    same distances; delta-stepping's bucketing is a shared-memory
+    scheduling optimization with no Spark analogue that beats a
+    plain frontier loop.
+  - Topological sort: gds.dag.topologicalSort
+    (algo/.../dag/topologicalsort/TopologicalSort.java) — iterative
+    zero-in-degree peeling.
+
+All three ride the PregelEngine: frontier = the changed set,
+messages = shuffle + min-combine, checkpoint/resume for free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.pregel import PregelEngine
+from graph_data_science_spark.plans.graph import Graph
+
+_INF = float("inf")
+
+
+@dataclass
+class PathResult:
+    distances: DataFrame  # (vid, distance) — unreachable = Infinity
+    ran_iterations: int
+    did_converge: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _distance_fixpoint(
+    graph: Graph,
+    source_nodes: Iterable[int],
+    edge_cost,
+    max_iterations: int,
+    engine: PregelEngine | None,
+    stats_interval: int = 1,
+) -> PathResult:
+    """Generic min-distance relaxation: dist' = min(dist, min over
+    in-edges (dist(src) + cost)); senders = nodes whose dist improved
+    (the frontier). BFS and SSSP differ only in edge_cost."""
+    spark = graph.edges.sparkSession
+    sources = list(source_nodes)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
+            edge_cost.alias("cost"),
+        )
+        .repartition(n_part, "e_src")
+        .sortWithinPartitions("e_src")
+        .persist()
+    )
+
+    state0 = graph.nodes.select(
+        "vid",
+        F.when(F.col("vid").isin(sources), F.lit(0.0)).otherwise(F.lit(_INF)).alias("dist"),
+        F.col("vid").isin(sources).alias("changed"),
+    )
+
+    def step(state: DataFrame, s: int) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select(
+            F.col("vid").alias("e_src"), F.col("dist").alias("sdist")
+        )
+        msgs = (
+            frontier.join(edges, "e_src")
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg(F.min(F.col("sdist") + F.col("cost")).alias("cand"))
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_dist = F.least(F.col("dist"), F.coalesce(F.col("cand"), F.col("dist")))
+        return joined.select(
+            "vid",
+            new_dist.alias("dist"),
+            (new_dist < F.col("dist")).alias("changed"),
+        )
+
+    eng = engine or PregelEngine(spark)
+    result = eng.run(
+        initial_state=state0,
+        step=step,
+        stats_exprs=[F.sum(F.col("changed").cast("long")).alias("changed_count")],
+        converged=lambda st: (st["changed_count"] or 0) == 0,
+        max_iterations=max_iterations,
+        stats_interval=stats_interval,
+    )
+    edges.unpersist()
+    return PathResult(
+        distances=result.state.select("vid", F.col("dist").alias("distance")),
+        ran_iterations=result.ran_iterations,
+        did_converge=result.did_converge,
+        metrics=result.metrics,
+    )
+
+
+def bfs(
+    graph: Graph,
+    source_nodes: Iterable[int],
+    max_iterations: int = 100,
+    engine: PregelEngine | None = None,
+    stats_interval: int = 1,
+) -> PathResult:
+    """Hop distance from the source set (gds.bfs level semantics)."""
+    return _distance_fixpoint(
+        graph, source_nodes, F.lit(1.0), max_iterations, engine, stats_interval
+    )
+
+
+def sssp(
+    graph: Graph,
+    source_nodes: Iterable[int],
+    max_iterations: int = 100,
+    engine: PregelEngine | None = None,
+    stats_interval: int = 1,
+) -> PathResult:
+    """Weighted shortest-path distances (Bellman-Ford relaxation to
+    fixpoint — same results as delta-stepping; requires non-negative
+    weights for the iteration bound to be meaningful)."""
+    return _distance_fixpoint(
+        graph, source_nodes, F.col("weight"), max_iterations, engine, stats_interval
+    )
+
+
+def topological_sort(graph: Graph, max_iterations: int = 1000) -> DataFrame:
+    """(vid, layer): iterative zero-in-degree peeling; layer = longest
+    path from any source. Nodes on cycles get layer NULL (the reference
+    skips them too — TopologicalSort.java processes only nodes whose
+    in-degree drains to zero)."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst").persist()
+    remaining = graph.nodes.select("vid").persist()
+    out = None
+    layer = 0
+    while layer < max_iterations:
+        indeg = (
+            remaining.join(edges.withColumnRenamed("dst", "vid"), "vid", "left_semi")
+            .select("vid")
+        )
+        zero = remaining.join(indeg, "vid", "left_anti").withColumn("layer", F.lit(layer))
+        zero = zero.persist()
+        n_zero = zero.count()
+        if n_zero == 0:
+            break
+        out = zero if out is None else out.unionByName(zero)
+        new_remaining = remaining.join(zero.select("vid"), "vid", "left_anti").persist()
+        edges = edges.join(zero.select(F.col("vid").alias("src")), "src", "left_anti").persist()
+        remaining.unpersist()
+        remaining = new_remaining
+        layer += 1
+    base = graph.nodes.select("vid")
+    if out is None:
+        return base.withColumn("layer", F.lit(None).cast("long"))
+    return base.join(out.withColumn("layer", F.col("layer").cast("long")), "vid", "left")

@@ -68,7 +68,11 @@ def wcc(
         )
     else:
         edges = edges.select("src", "dst")
-    edges = edges.persist()
+    # co-partition + sort once, reuse across supersteps (see pagerank.py)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        edges.repartition(n_part, "src").sortWithinPartitions("src").persist()
+    )
 
     state0 = graph.nodes.select(
         "vid", F.col("vid").alias("comp"), F.lit(True).alias("changed")

@@ -1,0 +1,54 @@
+import math
+
+import pytest
+
+from graph_data_science_spark.operators.paths import bfs, sssp, topological_sort
+from graph_data_science_spark.plans.graph import Graph
+
+INF = float("inf")
+
+
+@pytest.fixture(scope="module")
+def path_graph(spark):
+    # 0 ->1(w1) ->2(w2); 0->2 (w10); 3 isolated; 2->4(w1)
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 10.0), (2, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "vid long")
+    return Graph.from_edges(edges, nodes=nodes)
+
+
+def test_bfs_levels(spark, path_graph):
+    got = {r["vid"]: r["distance"] for r in bfs(path_graph, [0]).distances.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 1.0, 3: INF, 4: 2.0}
+
+
+def test_sssp_weighted(spark, path_graph):
+    got = {r["vid"]: r["distance"] for r in sssp(path_graph, [0]).distances.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: INF, 4: 4.0}  # 0->1->2 beats 0->2
+
+
+def test_sssp_multi_source(spark, path_graph):
+    got = {r["vid"]: r["distance"] for r in sssp(path_graph, [0, 3]).distances.collect()}
+    assert got[3] == 0.0
+
+
+def test_topological_sort(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    got = {r["vid"]: r["layer"] for r in topological_sort(g).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_topological_sort_cycle_nulls(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(edges)
+    got = {r["vid"]: r["layer"] for r in topological_sort(g).collect()}
+    assert got[0] == 0
+    assert got[1] is None and got[2] is None

@@ -23,7 +23,7 @@ def docs(spark):
 
 def test_token_count(spark, docs):
     got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
-    assert got[0] == 10
+    assert got[0] == 11
     assert got[3] == 0
     assert got[4] == 3
 
