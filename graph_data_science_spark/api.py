@@ -29,6 +29,11 @@ from graph_data_science_spark.operators import lpa as _lpa
 from graph_data_science_spark.operators import pagerank as _pagerank
 from graph_data_science_spark.operators import triangle as _triangle
 from graph_data_science_spark.operators import wcc as _wcc
+from graph_data_science_spark.operators import hits as _hits
+from graph_data_science_spark.operators import kcore as _kcore
+from graph_data_science_spark.operators import paths as _paths
+from graph_data_science_spark.operators import fastrp as _fastrp
+from graph_data_science_spark.operators import similarity as _similarity
 
 
 @dataclass
@@ -129,6 +134,36 @@ class Algo:
     def local_clustering_coefficient(self) -> ModeResult:
         df = _triangle.local_clustering_coefficient(self.graph)
         return _mode(df, "coefficient", {}, self.catalog, self.graph.name)
+
+    def hits(self, **kw) -> ModeResult:
+        r = _hits.hits(self.graph, **kw)
+        return _mode(r.scores, "authority",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def k_core(self, **kw) -> ModeResult:
+        r = _kcore.k_core_decomposition(self.graph, **kw)
+        return _mode(r.cores, "core",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def bfs(self, source_nodes, **kw) -> ModeResult:
+        r = _paths.bfs(self.graph, source_nodes, **kw)
+        return _mode(r.distances, "distance",
+                     {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
+
+    def sssp(self, source_nodes, **kw) -> ModeResult:
+        r = _paths.sssp(self.graph, source_nodes, **kw)
+        return _mode(r.distances, "distance",
+                     {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
+
+    def node_similarity(self, **kw) -> ModeResult:
+        df = _similarity.node_similarity(self.graph, **kw)
+        return _mode(df, "similarity", {}, self.catalog, self.graph.name)
+
+    def fast_rp(self, **kw) -> ModeResult:
+        df = _fastrp.fast_rp(self.graph, **kw)
+        return _mode(df, "embedding", {}, self.catalog, self.graph.name)
 
     # -- estimate stubs ---------------------------------------------------
     def estimate(self, algo: str) -> dict[str, Any]:

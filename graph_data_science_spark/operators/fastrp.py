@@ -1,0 +1,148 @@
+"""FastRP node embeddings — gds.fastRP parity.
+
+Reference: ml/.../embeddings/fastrp (FastRP.java), implementing
+"Fast and Accurate Network Embeddings via Very Sparse Random Projection"
+(Chen et al., 2019 — public paper): nodes get very-sparse random base
+vectors (entries ±sqrt(s)/sqrt(d) with prob 1/2s each, else 0), then the
+embedding is a weighted sum of successive neighbor-averaging iterations:
+    e = Σ_k w_k · normalize(A_norm^k · R)
+with optional degree-based normalization of the propagation.
+
+Spark-first formulation:
+  - base vectors are a pure hash function of (seed, vid, dim-index) —
+    no RNG state, deterministic at any parallelism (same property the
+    reference gets from its seeded SparseVector generator);
+  - each iteration is ONE gather join + segmented mean over the cached
+    pre-partitioned edge table, with the vector column as array<float>
+    combined via zip_with (JVM-side, no UDFs);
+  - per-iteration L2 normalization mirrors FastRP.java.
+
+Embedding dim d is bounded by what array columns handle comfortably
+(hundreds) — the reference defaults to 256.
+
+Scale note: the neighbor-mean uses collect_list + fold (no partial
+combine), so a hub of degree D buffers D×d doubles in one aggregation
+group — fine to ~10k degree at d=64. The 10^9-edge path is the CSR-block
+dense matmul (np: blocks @ vectors) on plans/csr.py, the same SpMV
+machinery PageRank uses with d-wide payloads; wire-up tracked for a
+later round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.plans.graph import Graph
+
+SPARSITY = 3  # s in the paper: P(±) = 1/(2s) each
+
+
+def _base_vector(dim: int, seed: int) -> Column:
+    """Very-sparse random projection base vector for F.col('vid')."""
+    import math
+
+    val = math.sqrt(SPARSITY) / math.sqrt(dim)
+    comps = []
+    for j in range(dim):
+        h = F.pmod(F.xxhash64(F.lit(seed), F.col("vid"), F.lit(j)), F.lit(2 * SPARSITY))
+        comps.append(
+            F.when(h == 0, F.lit(val)).when(h == 1, F.lit(-val)).otherwise(F.lit(0.0))
+        )
+    return F.array(*comps)
+
+
+def _l2_normalize(vec: Column) -> Column:
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    return F.when(
+        norm > 0, F.transform(vec, lambda v: v / norm)
+    ).otherwise(vec)
+
+
+def _vec_sum(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def fast_rp(
+    graph: Graph,
+    embedding_dimension: int = 64,
+    iteration_weights: list[float] | None = None,
+    normalization_strength: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns (vid, embedding array<double>).
+
+    iteration_weights defaults to [0.0, 1.0, 1.0] like the reference
+    (first weight applies to the base vectors themselves).
+    """
+    if iteration_weights is None:
+        iteration_weights = [0.0, 1.0, 1.0]
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.select("src", "dst", "weight")
+        .repartition(n_part, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    # degree^normalization_strength scaling of the propagation
+    deg = graph.degrees(direction="out")
+
+    cur = graph.nodes.select("vid", _l2_normalize(_base_vector(embedding_dimension, seed)).alias("vec"))
+    if normalization_strength != 0.0:
+        scale = deg.select(
+            "vid",
+            F.pow(F.greatest(F.col("degree"), F.lit(1.0)), F.lit(normalization_strength)).alias("_s"),
+        )
+        cur = cur.join(scale, "vid").select(
+            "vid", F.transform("vec", lambda v: v * F.col("_s")).alias("vec")
+        )
+
+    zero = F.array(*[F.lit(0.0) for _ in range(embedding_dimension)])
+    acc = None
+    w0 = iteration_weights[0]
+    if w0 != 0.0:
+        acc = cur.select("vid", F.transform("vec", lambda v: v * F.lit(w0)).alias("emb"))
+
+    state = cur.persist()
+    for w in iteration_weights[1:]:
+        nbr = state.select(F.col("vid").alias("dst"), F.col("vec").alias("nvec"))
+        gathered = (
+            edges.join(nbr, "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(
+                F.aggregate(
+                    F.collect_list("nvec"), zero, lambda a, v: _vec_sum(a, v)
+                ).alias("sum_vec"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "vid",
+                _l2_normalize(
+                    F.transform("sum_vec", lambda v: v / F.col("n"))
+                ).alias("vec"),
+            )
+        )
+        new_state = (
+            graph.nodes.select("vid")
+            .join(gathered, "vid", "left")
+            .select("vid", F.coalesce("vec", zero).alias("vec"))
+            .persist()
+        )
+        new_state.count()
+        state.unpersist()
+        state = new_state
+        term = state.select("vid", F.transform("vec", lambda v: v * F.lit(w)).alias("term"))
+        if acc is None:
+            acc = term.withColumnRenamed("term", "emb")
+        else:
+            acc = (
+                acc.join(term, "vid")
+                .select("vid", _vec_sum(F.col("emb"), F.col("term")).alias("emb"))
+            )
+
+    out = acc.select("vid", F.col("emb").alias("embedding"))
+    edges.unpersist()
+    return out
