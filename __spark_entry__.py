@@ -246,6 +246,26 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_topk(vecs, queries_df, dim=dim, k=5, planes=6, tables=2)
 
 
+def _q_modularity(spark, sf_dir):
+    from graph_data_science_spark.operators.modularity import modularity
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    comm = g.nodes.select("vid", F.pmod(F.col("vid"), F.lit(7)).alias("community"))
+    return modularity(g, comm).select(
+        "community", F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _q_conductance(spark, sf_dir):
+    from graph_data_science_spark.operators.modularity import conductance
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    comm = g.nodes.select("vid", F.pmod(F.col("vid"), F.lit(7)).alias("community"))
+    return conductance(g, comm).select(
+        "community", F.round("conductance", 6).alias("conductance")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = mm.synthesize_media(spark, n=64)
     return mm.extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
@@ -274,6 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_neardup": _q_ann_neardup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
+        "graph_modularity": _q_modularity,
+        "graph_conductance": _q_conductance,
     }
 
 
@@ -541,6 +563,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_cosine": ann_topk_oracle,
         "ann_embedding_neardup": ann_neardup_oracle,
+        "graph_modularity": f"""
+            WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
+            comm AS (SELECT vid, vid %% 7 AS community FROM
+                     (SELECT src AS vid FROM e UNION SELECT dst FROM e)),
+            tagged AS (
+                SELECT e.weight, ca.community AS c_src, cb.community AS c_dst
+                FROM e JOIN comm ca ON ca.vid = e.src JOIN comm cb ON cb.vid = e.dst
+            ),
+            m AS (SELECT SUM(weight) AS m FROM tagged),
+            intra AS (SELECT c_src AS community, SUM(weight) AS e_c
+                      FROM tagged WHERE c_src = c_dst GROUP BY 1),
+            ends AS (
+                SELECT c_src AS community, weight FROM tagged
+                UNION ALL SELECT c_dst, weight FROM tagged
+            ),
+            degm AS (SELECT community, SUM(weight) AS d_c FROM ends GROUP BY 1)
+            SELECT d.community,
+                   ROUND(COALESCE(i.e_c, 0) / m.m - POW(d.d_c / (2 * m.m), 2), 6)::DOUBLE
+                       AS modularity
+            FROM degm d LEFT JOIN intra i ON i.community = d.community, m
+        """ % (),
+        "graph_conductance": f"""
+            WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
+            bidir AS (SELECT src, dst, weight FROM e
+                      UNION ALL SELECT dst, src, weight FROM e),
+            comm AS (SELECT vid, vid %% 7 AS community FROM
+                     (SELECT src AS vid FROM e UNION SELECT dst FROM e)),
+            tagged AS (
+                SELECT b.weight, ca.community AS c_src, cb.community AS c_dst
+                FROM bidir b JOIN comm ca ON ca.vid = b.src JOIN comm cb ON cb.vid = b.dst
+            ),
+            per AS (
+                SELECT c_src AS community,
+                       SUM(CASE WHEN c_src = c_dst THEN weight ELSE 0 END) AS internal,
+                       SUM(CASE WHEN c_src <> c_dst THEN weight ELSE 0 END) AS external
+                FROM tagged GROUP BY 1
+            )
+            SELECT community,
+                   ROUND(CASE WHEN internal + external > 0
+                              THEN external / (internal + external) END, 6)::DOUBLE
+                       AS conductance
+            FROM per
+        """ % (),
         # dedup_simhash, ann_lsh_topk, multimodal_features: rows-only
         # (bit arithmetic / hash families not portable to DuckDB SQL)
     }

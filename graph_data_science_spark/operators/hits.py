@@ -52,7 +52,14 @@ def hits(
         F.lit(float("inf")).alias("delta"),
     )
 
+    # intermediates cached for the two in-step norm aggregates; freed at
+    # the next step call (they are state-sized — leaking them would
+    # accumulate 2 extra state copies per superstep)
+    scratch: list[DataFrame] = []
+
     def step(state: DataFrame, s: int) -> DataFrame:
+        while scratch:
+            scratch.pop().unpersist()
         hubs = state.select(F.col("vid").alias("src"), F.col("hub").alias("h"))
         auth_raw = (
             edges.join(hubs, "src")
@@ -62,6 +69,7 @@ def hits(
         with_auth = state.join(auth_raw, "vid", "left").withColumn(
             "auth_raw", F.coalesce("auth_raw", F.lit(0.0))
         ).persist()
+        scratch.append(with_auth)
         # masterCompute: L2 normalize authorities
         a_norm = with_auth.agg(
             F.sqrt(F.sum(F.col("auth_raw") * F.col("auth_raw")))
@@ -77,6 +85,7 @@ def hits(
         combined = with_auth.join(hub_raw, "vid", "left").withColumn(
             "hub_raw", F.coalesce("hub_raw", F.lit(0.0))
         ).persist()
+        scratch.append(combined)
         h_norm = combined.agg(
             F.sqrt(F.sum(F.col("hub_raw") * F.col("hub_raw")))
         ).collect()[0][0] or 1.0

@@ -244,8 +244,11 @@ def eigenvector(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "weight"
     )
     w = F.col("weight") if weighted else F.lit(1.0)
+    scratch: list[DataFrame] = []  # prior superstep's cached `raw`, freed per call
 
     def step(state: DataFrame, s: int) -> DataFrame:
+        while scratch:
+            scratch.pop().unpersist()
         msgs = (
             state.select(F.col("vid").alias("e_src"), "rank")
             .join(edges_renamed, "e_src")
@@ -267,6 +270,7 @@ def eigenvector(
         # inside an InMemoryRelation build; the collect is cheap and the
         # reference does masterCompute on the driver too.)
         raw = raw.persist()
+        scratch.append(raw)
         norm = raw.agg(
             F.sqrt(F.sum(F.col("new_raw") * F.col("new_raw")))
         ).collect()[0][0] or 1.0

@@ -5,7 +5,7 @@ from graph_data_science_spark.plans.graph import Graph
 from graph_data_science_spark.api import Algo
 from graph_data_science_spark.sources.sampling import random_walks, sample_rwr
 
-spark = get_spark(app_name="verify-3", cores=4, shuffle_partitions=4, driver_memory="6g")
+spark = get_spark(app_name="verify-3", cores=4, shuffle_partitions=4, driver_memory="8g")
 edges = spark.createDataFrame([(0,2,1.0),(0,3,1.0),(1,2,1.0),(1,3,1.0),(2,0,1.0)],
                               "src long, dst long, weight double")
 g = Graph.from_edges(edges)
