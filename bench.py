@@ -27,7 +27,7 @@ from graph_data_science_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-BENCH_NODES = int(os.environ.get("BENCH_NODES", "200000"))
+BENCH_NODES = int(os.environ.get("BENCH_NODES", "100000"))  # sized to finish inside one sandbox uptime window
 BENCH_AVG_DEG = int(os.environ.get("BENCH_AVG_DEG", "8"))
 
 
@@ -67,10 +67,14 @@ def bench_pagerank(spark, backend: str) -> dict:
 def bench_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
+    # dedup_minhash_lsh excluded: at sf0.1 the synthetic docs' shared
+    # vocabulary makes LSH candidate pairs quadratic-ish (millions) — it
+    # is correctness-gated at sf0.01 instead; the bench stays bounded
     subset = [
         "graph_pagerank", "graph_wcc", "graph_lpa",
         "graph_triangle_per_node", "graph_degree", "dedup_exact",
-        "dedup_minhash_lsh", "text_quality", "text_langid", "ann_topk_cosine",
+        "text_quality", "text_langid", "ann_topk_cosine",
+        "graph_modularity",
     ]
     qs = entrymod.queries()
     times = {}
