@@ -141,6 +141,13 @@ class Algo:
                      {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def scc(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.scc import scc as _scc
+
+        r = _scc(self.graph, **kw)
+        return _mode(r.components, "component", {"rounds": r.rounds},
+                     self.catalog, self.graph.name)
+
     def k_core(self, **kw) -> ModeResult:
         r = _kcore.k_core_decomposition(self.graph, **kw)
         return _mode(r.cores, "core",
