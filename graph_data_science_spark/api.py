@@ -141,6 +141,20 @@ class Algo:
                      {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def harmonic(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.closeness import harmonic_centrality
+
+        r = harmonic_centrality(self.graph, **kw)
+        return _mode(r.scores, "score", {"pivots": len(r.pivots)},
+                     self.catalog, self.graph.name)
+
+    def closeness(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.closeness import closeness_centrality
+
+        r = closeness_centrality(self.graph, **kw)
+        return _mode(r.scores, "score", {"pivots": len(r.pivots)},
+                     self.catalog, self.graph.name)
+
     def scc(self, **kw) -> ModeResult:
         from graph_data_science_spark.operators.scc import scc as _scc
 
