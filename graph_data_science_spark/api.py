@@ -126,6 +126,26 @@ class Algo:
                       "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def louvain(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.louvain import louvain as _louvain
+
+        r = _louvain(self.graph, **kw)
+        n_comm = r.communities.select("community").distinct().count()
+        return _mode(r.communities, "community",
+                     {"communityCount": n_comm, "ranLevels": r.ran_levels,
+                      "modularities": r.modularities, "modularity":
+                      (r.modularities[-1] if r.modularities else 0.0),
+                      "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def k1_coloring(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.k1coloring import k1_coloring as _k1
+
+        r = _k1(self.graph, **kw)
+        return _mode(r.colors, "color",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
     def triangle_count(self, **kw) -> ModeResult:
         r = _triangle.triangle_count(self.graph, **kw)
         return _mode(r.per_node, "triangles", {"globalTriangleCount": r.global_count},

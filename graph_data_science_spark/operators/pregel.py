@@ -108,63 +108,79 @@ class PregelEngine:
         if state is None:
             raise ValueError("no initial state and nothing to resume from")
 
+        # AQE re-plans (and re-submits) stage by stage, which serializes the
+        # superstep chain on the driver: measured 2.6x wall inflation and a
+        # ~2.1 s/superstep driver gap with AQE on vs ~0.5 s with it off
+        # (tools/stage_profile.py, 8.4M edges, local[8]). The iterative loop
+        # has a FIXED, known shape — partition counts are chosen up front —
+        # so runtime re-planning buys nothing here. Disable it for the loop
+        # and restore the caller's setting after (AQE stays on for one-shot
+        # analytics queries, where skew-splitting/coalescing do help).
+        conf = self.spark.conf
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+
         live: list[DataFrame] = []  # persisted ancestors still in lineage
         did_converge = False
         ran = start_superstep
         t0 = time.time()
-        for s in range(start_superstep, max_iterations):
-            new_state = step(state, s)
-            if stats_interval > 1 and (s + 1) % stats_interval != 0 and s != max_iterations - 1:
-                # Stay lazy (no job), but cut the LOGICAL plan at the RDD
-                # boundary: step() references `state` more than once (state
-                # ⋈ msgs(state)), so chaining raw plans grows the tree
-                # exponentially (2^k subtree copies). A lazy localCheckpoint
-                # plans this superstep now (small plan) and hands the next
-                # superstep a LogicalRDD — RDD lineage is a shared DAG, so
-                # growth is linear and one job materializes the whole chain.
-                state = new_state.localCheckpoint(eager=False)
-                continue
-            new_state = new_state.persist()
-            # ONE action per superstep: the stats aggregate both
-            # materializes the persisted state and feeds masterCompute
-            stats = new_state.agg(*stats_exprs).collect()[0].asDict()
-            stats["superstep"] = s
-            stats["wall_sec"] = time.time() - t0
-            t0 = time.time()
-            is_converged = converged(stats)
-            # reference counting: converging superstep not counted
-            ran = s if is_converged else s + 1
-            is_last = is_converged or s == max_iterations - 1
+        try:
+            for s in range(start_superstep, max_iterations):
+                new_state = step(state, s)
+                if stats_interval > 1 and (s + 1) % stats_interval != 0 and s != max_iterations - 1:
+                    # Stay lazy (no job), but cut the LOGICAL plan at the RDD
+                    # boundary: step() references `state` more than once (state
+                    # ⋈ msgs(state)), so chaining raw plans grows the tree
+                    # exponentially (2^k subtree copies). A lazy localCheckpoint
+                    # plans this superstep now (small plan) and hands the next
+                    # superstep a LogicalRDD — RDD lineage is a shared DAG, so
+                    # growth is linear and one job materializes the whole chain.
+                    state = new_state.localCheckpoint(eager=False)
+                    continue
+                new_state = new_state.persist()
+                # ONE action per superstep: the stats aggregate both
+                # materializes the persisted state and feeds masterCompute
+                stats = new_state.agg(*stats_exprs).collect()[0].asDict()
+                stats["superstep"] = s
+                stats["wall_sec"] = time.time() - t0
+                t0 = time.time()
+                is_converged = converged(stats)
+                # reference counting: converging superstep not counted
+                ran = s if is_converged else s + 1
+                is_last = is_converged or s == max_iterations - 1
 
-            # lineage truncation every checkpoint_interval supersteps (and
-            # at the end): durable parquet snapshot when a checkpoint dir
-            # is configured, localCheckpoint otherwise. In between, plan
-            # depth is bounded by the interval (persisted ancestors are
-            # scanned from cache, one-superstep recompute worst case).
-            truncate = is_last or ((s - start_superstep + 1) % self.checkpoint_interval == 0)
-            if truncate:
-                pre_truncate = new_state
+                # lineage truncation every checkpoint_interval supersteps (and
+                # at the end): durable parquet snapshot when a checkpoint dir
+                # is configured, localCheckpoint otherwise. In between, plan
+                # depth is bounded by the interval (persisted ancestors are
+                # scanned from cache, one-superstep recompute worst case).
+                truncate = is_last or ((s - start_superstep + 1) % self.checkpoint_interval == 0)
+                if truncate:
+                    pre_truncate = new_state
+                    if self.manager is not None:
+                        new_state = self.manager.save(new_state, s, extra={"stats": _plain(stats)})
+                        stats["checkpointed"] = True
+                    elif self.use_local_checkpoint:
+                        new_state = new_state.localCheckpoint(eager=True)
+                    if new_state is not pre_truncate:
+                        live.append(pre_truncate)
+                    for df in live:
+                        df.unpersist()
+                    live = []
                 if self.manager is not None:
-                    new_state = self.manager.save(new_state, s, extra={"stats": _plain(stats)})
-                    stats["checkpointed"] = True
-                elif self.use_local_checkpoint:
-                    new_state = new_state.localCheckpoint(eager=True)
-                if new_state is not pre_truncate:
-                    live.append(pre_truncate)
-                for df in live:
-                    df.unpersist()
-                live = []
-            if self.manager is not None:
-                self.manager.log_metrics(_plain(stats))
-            metrics.append(stats)
-            if on_superstep:
-                on_superstep(s, stats)
+                    self.manager.log_metrics(_plain(stats))
+                metrics.append(stats)
+                if on_superstep:
+                    on_superstep(s, stats)
 
-            live.append(new_state)
-            state = new_state
-            if is_converged:
-                did_converge = True
-                break
+                live.append(new_state)
+                state = new_state
+                if is_converged:
+                    did_converge = True
+                    break
+
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
 
         return PregelResult(state=state, ran_iterations=ran, did_converge=did_converge, metrics=metrics)
 

@@ -1,6 +1,15 @@
-"""One scaling measurement: PageRank, fixed 20 supersteps, one
-parallelism level. Usage: python tools/scale_child.py <cores> <backend>
-<nodes>. Prints one RESULT json line."""
+"""One scaling measurement: PageRank, fixed supersteps, one parallelism
+level. Usage: python tools/scale_child.py <spec> <backend> <nodes> [supersteps]
+  spec = <cores> (local[N]) or lc<execs>x<cores> (local-cluster: REAL
+  separate executor JVMs — the faithful stand-in for N vs 4N executors).
+Prints one RESULT json line with total AND steady-state throughput.
+
+Steady-state = supersteps after the first stats window (the first window
+pays one-time costs: edge repartition+cache build, JIT warmup, first
+shuffle-file creation). The per-window walls come from PregelEngine's own
+metrics (superstep checkpoint/convergence metrics, north-rule item), so
+the measurement is the engine's own bookkeeping, not an external timer.
+"""
 
 import json
 import os
@@ -9,31 +18,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from graph_data_science_spark.session import get_spark
 from graph_data_science_spark.operators.pagerank import page_rank
 from graph_data_science_spark.sources.generator import random_graph
+from graph_data_science_spark.session import get_spark
+
+STATS_INTERVAL = int(os.environ.get("STATS_INTERVAL", "5"))
 
 
-def main():
-    spec, backend, nodes = sys.argv[1], sys.argv[2], int(sys.argv[3])
+def build_spark(spec: str):
     if spec.startswith("lc"):
-        # lc<executors>x<cores-per-exec>: Spark's local-cluster master —
-        # REAL separate executor JVMs (own block manager / shuffle / GC),
-        # the faithful stand-in for N vs 4N executors on one box
         n_exec, per = (int(x) for x in spec[2:].split("x"))
         total = n_exec * per
         from pyspark.sql import SparkSession
 
+        exec_mem_mb = int(os.environ.get("EXEC_MEM_MB", "12288"))
         spark = (
-            SparkSession.builder.master(f"local-cluster[{n_exec},{per},6144]")
+            SparkSession.builder.master(f"local-cluster[{n_exec},{per},{exec_mem_mb}]")
             .appName(f"scaling-{spec}")
             .config("spark.sql.shuffle.partitions", str(total))
             .config("spark.default.parallelism", str(total))
             .config("spark.driver.memory", "8g")
-            .config("spark.executor.memory", "6g")
+            .config("spark.executor.memory", f"{exec_mem_mb}m")
             .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.adaptive.coalescePartitions.enabled",
-                    os.environ.get("COALESCE", "true"))
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.ui.enabled", "false")
@@ -41,24 +47,40 @@ def main():
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("WARN")
-        cores = total
-    else:
-        cores = int(spec)
-        spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
-                          shuffle_partitions=cores, driver_memory="40g")
+        return spark, total
+    cores = int(spec)
+    return (
+        get_spark(app_name=f"scaling-{cores}", cores=cores,
+                  shuffle_partitions=cores, driver_memory="40g"),
+        cores,
+    )
+
+
+def main():
+    spec, backend, nodes = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    supersteps = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    spark, cores = build_spark(spec)
     g = random_graph(spark, nodes, 8, seed=42)
     g.edges.persist()
     m = g.edges.count()
     g.nodes.persist()
     g.nodes.count()
     t0 = time.time()
-    res = page_rank(g, tolerance=0, max_iterations=20, backend=backend, stats_interval=5)
+    res = page_rank(g, tolerance=0, max_iterations=supersteps, backend=backend,
+                    stats_interval=STATS_INTERVAL)
     res.scores.count()
     wall = time.time() - t0
+    # steady state: drop the first stats window (cache build + JIT)
+    walls = [m_["wall_sec"] for m_ in res.metrics]
+    steady_wall = sum(walls[1:]) if len(walls) > 1 else wall
+    steady_ss = supersteps - STATS_INTERVAL if len(walls) > 1 else supersteps
     print("RESULT " + json.dumps({
-        "cores": cores, "backend": backend, "wall_sec": round(wall, 2),
-        "edges": m, "supersteps": 20,
-        "throughput": round(m * 20 / wall, 1),
+        "cores": cores, "spec": spec, "backend": backend,
+        "wall_sec": round(wall, 2), "edges": m, "supersteps": supersteps,
+        "throughput": round(m * supersteps / wall, 1),
+        "steady_wall_sec": round(steady_wall, 2),
+        "steady_supersteps": steady_ss,
+        "steady_throughput": round(m * steady_ss / steady_wall, 1),
     }))
 
 
