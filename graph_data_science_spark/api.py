@@ -198,6 +198,28 @@ class Algo:
         return _mode(r.distances, "distance",
                      {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
 
+    def shortest_path_dijkstra(self, source, target, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.dijkstra import dijkstra as _dij
+
+        r = _dij(self.graph, source, targets=[target], **kw)
+        return _mode(r.paths, "total_cost",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def all_shortest_paths_dijkstra(self, source, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.dijkstra import dijkstra as _dij
+
+        r = _dij(self.graph, source, **kw)
+        return _mode(r.paths, "total_cost",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def shortest_path_yens(self, source, target, k=3, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.dijkstra import yens as _yens
+
+        df = _yens(self.graph, source, target, k=k, **kw)
+        return _mode(df, "total_cost", {"k": k}, self.catalog, self.graph.name)
+
     def node_similarity(self, **kw) -> ModeResult:
         df = _similarity.node_similarity(self.graph, **kw)
         return _mode(df, "similarity", {}, self.catalog, self.graph.name)
