@@ -161,6 +161,13 @@ class Algo:
                      {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def betweenness(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.betweenness import betweenness as _bc
+
+        r = _bc(self.graph, **kw)
+        return _mode(r.scores, "score", {"sources": len(r.sources)},
+                     self.catalog, self.graph.name)
+
     def harmonic(self, **kw) -> ModeResult:
         from graph_data_science_spark.operators.closeness import harmonic_centrality
 

@@ -1,0 +1,231 @@
+"""Betweenness centrality — Brandes with optional source sampling.
+
+Reference: algo/src/main/java/org/neo4j/gds/betweenness/
+BetweennessCentrality.java (Brandes 2001: per-source BFS computing
+shortest-path counts sigma, then reverse-order dependency accumulation
+delta(v) = sum over successors w of sigma_v/sigma_w * (1 + delta_w));
+sampling via SelectionStrategy (a subset of sources, contributions NOT
+rescaled — BetweennessCentralityTest expects partial sums); undirected
+graphs divide the result by 2 (undirected_diamond expects b=9.5).
+
+Spark-first design: sources are processed in BATCHES of k, all k
+advancing in one BSP fixpoint (the closeness/harmonic trick,
+operators/closeness.py): state carries array<struct<d,sig>> of k
+(distance, path-count) pairs; the message combine is an elementwise
+  (a,b) -> b.d < a.d ? b : (b.d == a.d ? (a.d, a.sig + b.sig) : a)
+so sigma sums across equal-distance predecessors arrive in the single
+superstep where the node settles (unweighted BFS settles all
+predecessors of a node in the same round). The backward phase replays
+T = max distance rounds over REVERSED edges with an elementwise-sum
+combine of (1+delta)/sigma contributions, gated on the receiver being a
+predecessor (d == t-1). Supersteps per batch = 2 x diameter regardless
+of k; shuffle volume per superstep = frontier x array width. BC
+accumulates across batches with lineage cuts, so memory is O(n x k)
+per batch, not O(n x sources).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.pregel import PregelEngine
+from graph_data_science_spark.plans.graph import Graph, Orientation
+from graph_data_science_spark.plans.lineage import cut_lineage
+
+_INF = float("inf")
+
+
+@dataclass
+class BetweennessResult:
+    scores: DataFrame  # (vid, score)
+    sources: list[int]
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _forward(graph, edges, sources, max_iterations, engine):
+    """BFS with path counting from all sources at once.
+    Returns (vid, ds: array<struct<d double, sig double>>)."""
+    spark = graph.edges.sparkSession
+
+    init = F.array(*[
+        F.when(F.col("vid") == F.lit(s),
+               F.struct(F.lit(0.0).alias("d"), F.lit(1.0).alias("sig")))
+        .otherwise(F.struct(F.lit(_INF).alias("d"), F.lit(0.0).alias("sig")))
+        for s in sources
+    ])
+    state0 = graph.nodes.select("vid", init.alias("ds"), F.lit(True).alias("changed"))
+    inf_elem = F.struct(F.lit(_INF).alias("d"), F.lit(0.0).alias("sig"))
+    inf_arr = F.array(*[inf_elem for _ in sources])
+
+    def combine(a, b):
+        return (
+            F.when(b["d"] < a["d"], b)
+            .when(
+                (b["d"] == a["d"]) & (b["d"] != _INF),
+                F.struct(a["d"].alias("d"), (a["sig"] + b["sig"]).alias("sig")),
+            )
+            .otherwise(a)
+        )
+
+    def step(state, s):
+        senders = state.filter(
+            F.exists("ds", lambda x: x["d"] == F.lit(float(s)))
+        ).select(F.col("vid").alias("e_src"), "ds")
+        cand = senders.join(edges, "e_src").select(
+            F.col("e_dst").alias("vid"),
+            F.transform(
+                "ds",
+                lambda x: F.when(
+                    x["d"] == F.lit(float(s)),
+                    F.struct((x["d"] + 1.0).alias("d"), x["sig"].alias("sig")),
+                ).otherwise(inf_elem),
+            ).alias("cd"),
+        )
+        msgs = cand.groupBy("vid").agg(
+            F.aggregate(
+                F.collect_list("cd"), inf_arr,
+                lambda acc, v: F.zip_with(acc, v, combine),
+            ).alias("m")
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_ds = F.when(
+            F.col("m").isNotNull(),
+            F.zip_with("ds", "m", lambda a, b: F.when(b["d"] < a["d"], b).otherwise(a)),
+        ).otherwise(F.col("ds"))
+        improved = F.when(
+            F.col("m").isNotNull(),
+            F.exists(F.zip_with(new_ds, F.col("ds"), lambda a, b: a["d"] < b["d"]),
+                     lambda x: x),
+        ).otherwise(F.lit(False))
+        return joined.select("vid", new_ds.alias("ds"), improved.alias("changed"))
+
+    eng = engine or PregelEngine(spark)
+    res = eng.run(
+        initial_state=state0, step=step,
+        stats_exprs=[F.sum(F.col("changed").cast("long")).alias("changed_count")],
+        converged=lambda st: (st["changed_count"] or 0) == 0,
+        max_iterations=max_iterations,
+    )
+    return res.state.select("vid", "ds"), res.metrics
+
+
+def _backward(graph, redges, fwd, k, T, engine):
+    """Dependency accumulation, rounds t = T..1 over reversed edges.
+    Returns (vid, delta: array<double>)."""
+    spark = graph.edges.sparkSession
+    zeros = F.array(*[F.lit(0.0) for _ in range(k)])
+    state0 = fwd.select("vid", "ds", zeros.alias("delta"), F.lit(True).alias("changed"))
+
+    def step(state, s):
+        t = float(T - s)
+        senders = state.filter(
+            F.exists("ds", lambda x: x["d"] == F.lit(t))
+        ).select(
+            F.col("vid").alias("e_src"),
+            F.zip_with(
+                "ds", "delta",
+                lambda x, dl: F.when(
+                    (x["d"] == F.lit(t)) & (x["sig"] > 0), (1.0 + dl) / x["sig"]
+                ).otherwise(F.lit(0.0)),
+            ).alias("contrib"),
+        )
+        cand = senders.join(redges, "e_src").select(
+            F.col("e_dst").alias("vid"), F.col("contrib")
+        )
+        msgs = cand.groupBy("vid").agg(
+            F.aggregate(
+                F.collect_list("contrib"), zeros,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("m")
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_delta = F.when(
+            F.col("m").isNotNull(),
+            F.zip_with(
+                F.arrays_zip("ds", "delta"), F.col("m"),
+                lambda z, m: z["delta"]
+                + F.when(z["ds"]["d"] == F.lit(t - 1.0), z["ds"]["sig"] * m).otherwise(0.0),
+            ),
+        ).otherwise(F.col("delta"))
+        return joined.select("vid", "ds", new_delta.alias("delta"), F.lit(True).alias("changed"))
+
+    eng = engine or PregelEngine(spark)
+    res = eng.run(
+        initial_state=state0, step=step,
+        stats_exprs=[F.count(F.lit(1)).alias("n")],
+        converged=lambda st: False,
+        max_iterations=T,
+    )
+    return res.state.select("vid", "delta")
+
+
+def betweenness(
+    graph: Graph,
+    sampling_size: int | None = None,
+    seed: int = 42,
+    batch_size: int = 64,
+    max_iterations: int = 200,
+    engine: PregelEngine | None = None,
+) -> BetweennessResult:
+    """Brandes betweenness. sampling_size=None -> exact (all sources);
+    otherwise a deterministic hash-ranked sample of sources whose
+    contributions are summed UNrescaled (reference sampling contract)."""
+    spark = graph.edges.sparkSession
+    nodes = graph.nodes.select("vid")
+    if sampling_size is None:
+        sources = [r["vid"] for r in nodes.orderBy("vid").collect()]
+    else:
+        sources = [
+            r["vid"]
+            for r in nodes.orderBy(F.xxhash64(F.lit(seed), F.col("vid")))
+            .limit(sampling_size).collect()
+        ]
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        .repartition(n_part, "e_src").sortWithinPartitions("e_src").persist()
+    )
+    redges = (
+        graph.edges.select(F.col("dst").alias("e_src"), F.col("src").alias("e_dst"))
+        .repartition(n_part, "e_src").sortWithinPartitions("e_src").persist()
+    )
+
+    bc = nodes.select("vid", F.lit(0.0).alias("score"))
+    metrics: list[dict[str, Any]] = []
+    for i in range(0, len(sources), batch_size):
+        batch = sources[i : i + batch_size]
+        fwd, ms = _forward(graph, edges, batch, max_iterations, engine)
+        fwd = cut_lineage(fwd)
+        metrics.extend(ms)
+        finite_max = F.aggregate(
+            "ds", F.lit(0.0),
+            lambda acc, x: F.when((x["d"] != _INF) & (x["d"] > acc), x["d"]).otherwise(acc),
+        )
+        T = int(fwd.agg(F.max(finite_max)).collect()[0][0] or 0)
+        if T == 0:
+            continue
+        delta = _backward(graph, redges, fwd, len(batch), T, engine)
+        mask = F.array(*[(F.col("vid") != F.lit(s)).cast("double") for s in batch])
+        contrib = delta.select(
+            "vid",
+            F.aggregate(
+                F.zip_with("delta", mask, lambda d, m: d * m),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("c"),
+        )
+        bc = cut_lineage(
+            bc.join(contrib, "vid", "left").select(
+                "vid", (F.col("score") + F.coalesce("c", F.lit(0.0))).alias("score")
+            )
+        )
+    if graph.orientation == Orientation.UNDIRECTED:
+        # reference divides undirected scores by 2 (each unordered pair is
+        # counted from both endpoints)
+        bc = bc.select("vid", (F.col("score") / 2.0).alias("score"))
+    edges.unpersist()
+    redges.unpersist()
+    return BetweennessResult(scores=bc, sources=sources, metrics=metrics)
