@@ -36,6 +36,7 @@ from graph_data_science_spark.operators import ann as ann
 from graph_data_science_spark.operators import multimodal as mm
 
 SUPPLIER_OFFSET = 100000  # disjoint vid spaces for the bipartite graph
+EMB_DIM = 64  # embeddings.parquet vector width at every sf
 
 # number of rank-update iterations: Spark max_iterations=20 executes
 # supersteps 0..19; superstep 0 only seeds messages, so ranks see 19
@@ -226,8 +227,20 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_neardup(spark, sf_dir):
+    """The SCALE path: LSH-bucketed near-duplicate pairs (no all-pairs
+    join). The oracle replicates the identical hashlib-derived hyperplane
+    constants, so the candidate set — and therefore the result — is
+    hash-exact across engines."""
     vecs = _read(spark, sf_dir, "embeddings")
-    # brute-force exact variant (the LSH path is ann_lsh_topk, rows-only)
+    return ann.embedding_near_duplicates(
+        vecs, dim=EMB_DIM, threshold=0.35, planes=6, tables=2
+    )
+
+
+def _q_ann_neardup_exact_small(spark, sf_dir):
+    """Brute-force exact near-dup on a bounded slice (vec_id < 300) —
+    the recall oracle for the LSH path; quadratic, small-slice only."""
+    vecs = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     base = vecs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     other = vecs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     from graph_data_science_spark.functions.similarity import cosine
@@ -241,9 +254,8 @@ def _q_ann_neardup(spark, sf_dir):
 
 def _q_ann_lsh_topk(spark, sf_dir):
     vecs = _read(spark, sf_dir, "embeddings")
-    dim = len(vecs.select("embedding").first()[0])
     queries_df = vecs.filter(F.col("vec_id") < 5)
-    return ann.lsh_topk(vecs, queries_df, dim=dim, k=5, planes=6, tables=2)
+    return ann.lsh_topk(vecs, queries_df, dim=EMB_DIM, k=5, planes=6, tables=2)
 
 
 def _q_modularity(spark, sf_dir):
@@ -292,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_topk_cosine": _q_ann_topk,
         "ann_embedding_neardup": _q_ann_neardup,
+        "ann_neardup_exact_small": _q_ann_neardup_exact_small,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "graph_modularity": _q_modularity,
@@ -386,6 +399,114 @@ def _minhash_oracle_sql() -> str:
     WHERE ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
                 / len(list_distinct(list_concat(sa.toks, sb.toks))), 4) >= 0.5
     """
+
+
+def _lsh_bucket_sql(vec_expr: str, dim: int, planes: int, table: int) -> str:
+    """DuckDB expression for the LSH sign-pattern bucket — inlines the
+    SAME hashlib-md5-derived ±1 hyperplanes as operators/ann.plane_signs,
+    so both engines compute identical buckets."""
+    from graph_data_science_spark.operators.ann import plane_signs
+
+    terms = []
+    for p in range(planes):
+        arr = "[" + ",".join(f"{s:.1f}" for s in plane_signs(p, dim, table)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_cands_sql(planes: int, tables: int, where: str = "") -> str:
+    """Candidate pairs (a < b) colliding in any LSH table."""
+    parts = []
+    for t in range(tables):
+        b = _lsh_bucket_sql("embedding", 64, planes, t)
+        parts.append(
+            f"SELECT vec_id, {t} AS tbl, {b} AS bucket FROM embeddings {where}"
+        )
+    banded = " UNION ALL ".join(parts)
+    return f"""
+    banded AS MATERIALIZED ({banded}),
+    cands AS (
+        SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        FROM banded l JOIN banded r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        WHERE l.vec_id < r.vec_id
+    )
+    """
+
+
+_COS_SQL = (
+    "list_dot_product(ea.embedding, eb.embedding) / "
+    "(sqrt(list_dot_product(ea.embedding, ea.embedding)) * "
+    "sqrt(list_dot_product(eb.embedding, eb.embedding)))"
+)
+
+
+def _ann_neardup_lsh_oracle_sql() -> str:
+    return f"""
+    WITH {_lsh_cands_sql(planes=6, tables=2)}
+    SELECT c.a, c.b, ROUND({_COS_SQL}, 4)::DOUBLE AS cosine_sim
+    FROM cands c JOIN embeddings ea ON ea.vec_id = c.a
+                 JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE ROUND({_COS_SQL}, 4) >= 0.35
+    """
+
+
+def _ann_lsh_topk_oracle_sql() -> str:
+    """lsh_topk mirror: query vecs are vec_id < 5; candidates collide in
+    any table with the query; exact cosine re-rank, top-5."""
+    return f"""
+    WITH {_lsh_cands_sql(planes=6, tables=2)},
+    pairs AS (
+        SELECT a AS query_id, b AS neighbor_id FROM cands WHERE a < 5
+        UNION
+        SELECT b, a FROM cands WHERE b < 5
+    ),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               {_COS_SQL.replace('ea.', 'q.').replace('eb.', 'n.')} AS sim
+        FROM pairs p JOIN embeddings q ON q.vec_id = p.query_id
+                     JOIN embeddings n ON n.vec_id = p.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4)::DOUBLE AS cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """Mirror of dedup.simhash: per-token 32-bit value = first 8 md5 hex
+    chars; signature bit i = sign of sum over tokens of (+-1)."""
+    b_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKSET}) AS tok FROM documents),
+    hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, {b_cols} FROM hv GROUP BY doc_id)
+    SELECT doc_id, ({sig})::BIGINT AS simhash FROM bits
+    """
+
+
+_MULTIMODAL_ORACLE_SQL = """
+    SELECT id AS media_id,
+           CASE WHEN id % 3 = 0 THEN 'image'
+                WHEN id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(64 AS INT) AS n_bytes
+    FROM range(64) t(id)
+"""
 
 
 def _ngram_oracle_sql() -> str:
@@ -498,13 +619,14 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked WHERE rnk <= 5
     """
 
-    ann_neardup_oracle = """
+    ann_neardup_exact_oracle = """
     SELECT a.vec_id AS a, b.vec_id AS b,
            ROUND(list_dot_product(a.embedding, b.embedding)
                  / (sqrt(list_dot_product(a.embedding, a.embedding))
                     * sqrt(list_dot_product(b.embedding, b.embedding))), 4)::DOUBLE AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.embedding, b.embedding)
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND ROUND(list_dot_product(a.embedding, b.embedding)
                 / (sqrt(list_dot_product(a.embedding, a.embedding))
                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.35
     """
@@ -562,7 +684,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_topk_cosine": ann_topk_oracle,
-        "ann_embedding_neardup": ann_neardup_oracle,
+        "ann_embedding_neardup": _ann_neardup_lsh_oracle_sql(),
+        "ann_neardup_exact_small": ann_neardup_exact_oracle,
+        "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "multimodal_features": _MULTIMODAL_ORACLE_SQL,
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM
@@ -606,6 +732,4 @@ def oracle_sql() -> dict[str, str]:
                        AS conductance
             FROM per
         """ % (),
-        # dedup_simhash, ann_lsh_topk, multimodal_features: rows-only
-        # (bit arithmetic / hash families not portable to DuckDB SQL)
     }

@@ -68,16 +68,22 @@ def brute_force_topk(
     )
 
 
+def plane_signs(plane: int, dim: int, table: int = 0) -> list[float]:
+    """Deterministic ±1 hyperplane components: sign of the md5 of
+    "table#plane#j" (hashlib, computed at plan-build time — engine-
+    portable, so DuckDB oracles can inline the identical constants)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{table}#{plane}#{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for j in range(dim)
+    ]
+
+
 def _hyperplane(plane: int, dim: int, table: int = 0) -> Column:
-    """Deterministic ±1 hyperplane as an array column: component j =
-    sign(xxhash64(table, plane, j))."""
-    return F.array(
-        *[
-            F.when(F.xxhash64(F.lit(table), F.lit(plane), F.lit(j)) % 2 == 0, F.lit(1.0))
-            .otherwise(F.lit(-1.0))
-            for j in range(dim)
-        ]
-    )
+    return F.array(*[F.lit(s) for s in plane_signs(plane, dim, table)])
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
