@@ -37,6 +37,7 @@ from graph_data_science_spark.operators import multimodal as mm
 
 SUPPLIER_OFFSET = 100000  # disjoint vid spaces for the bipartite graph
 EMB_DIM = 64  # embeddings.parquet vector width at every sf
+SSSP_UNROLLED = 10  # relaxation rounds mirrored in the DuckDB oracle
 
 # number of rank-update iterations: Spark max_iterations=20 executes
 # supersteps 0..19; superstep 0 only seeds messages, so ranks see 19
@@ -278,6 +279,135 @@ def _q_conductance(spark, sf_dir):
     )
 
 
+def _clique_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic community structure from the customer table: per
+    nation, a clique over the 12 smallest custkeys; consecutive nations
+    bridged by one edge between their min custkeys. Louvain provably
+    recovers the cliques (bridges are single edges against dense
+    cliques), so the oracle is closed-form: community = min clique
+    member."""
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    sel = cust.select("c_custkey", "c_nationkey").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= 12)
+    a = sel.select(F.col("c_nationkey").alias("n"), F.col("c_custkey").alias("src"))
+    b = sel.select(F.col("c_nationkey").alias("n"), F.col("c_custkey").alias("dst"))
+    clique = a.join(b, "n").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    mins = sel.groupBy("c_nationkey").agg(F.min("c_custkey").alias("m"))
+    w2 = Window.orderBy("c_nationkey")
+    bridges = (
+        mins.withColumn("nxt", F.lead("m").over(w2))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("m").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return clique.unionByName(bridges).withColumn("weight", F.lit(1.0))
+
+
+_CLIQUE_RING_SQL = """
+    WITH sel AS (
+        SELECT c_custkey, c_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        FROM customer
+    ),
+    s AS (SELECT c_custkey, c_nationkey FROM sel WHERE rn <= 12)
+"""
+
+
+def _q_louvain(spark, sf_dir):
+    from graph_data_science_spark.operators.louvain import louvain
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _clique_ring_edges(spark, sf_dir), orientation=Orientation.UNDIRECTED
+    )
+    res = louvain(g)
+    return res.communities.select("vid", "community")
+
+
+def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-level directed tree: region -> nation -> (8 customers) ->
+    (3 orders each), with offsets keeping the id spaces disjoint.
+    Unique shortest paths => Brandes betweenness has the closed form
+    anc(v) * desc(v)."""
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    rn_edges = nation.select(
+        (F.col("n_regionkey") + 1_000_000).alias("src"),
+        (F.col("n_nationkey") + 2_000_000).alias("dst"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    csel = cust.select("c_custkey", "c_nationkey").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= 8)
+    nc_edges = csel.select(
+        (F.col("c_nationkey") + 2_000_000).alias("src"), F.col("c_custkey").alias("dst")
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    osel = orders.select("o_orderkey", "o_custkey").withColumn(
+        "rn", F.row_number().over(wo)
+    ).filter(F.col("rn") <= 3)
+    co_edges = osel.join(
+        csel.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    ).select(F.col("o_custkey").alias("src"), (F.col("o_orderkey") + 3_000_000).alias("dst"))
+    return rn_edges.unionByName(nc_edges).unionByName(co_edges).withColumn(
+        "weight", F.lit(1.0)
+    )
+
+
+_TREE_SQL = """
+    WITH csel AS (
+        SELECT c_custkey, c_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        FROM customer
+    ),
+    cs AS (SELECT c_custkey, c_nationkey FROM csel WHERE rn <= 8),
+    osel AS (
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders
+    ),
+    os AS (SELECT o_orderkey, o_custkey FROM osel WHERE rn <= 3
+           AND o_custkey IN (SELECT c_custkey FROM cs)),
+    te AS (
+        SELECT n_regionkey + 1000000 AS src, n_nationkey + 2000000 AS dst FROM nation
+        UNION ALL
+        SELECT c_nationkey + 2000000, c_custkey FROM cs
+        UNION ALL
+        SELECT o_custkey, o_orderkey + 3000000 FROM os
+    )
+"""
+
+
+def _q_betweenness_tree(spark, sf_dir):
+    from graph_data_science_spark.operators.betweenness import betweenness
+
+    g = Graph.from_edges(_tree_edges(spark, sf_dir))
+    res = betweenness(g, batch_size=96)
+    return res.scores.select("vid", F.round("score", 4).alias("score"))
+
+
+def _q_sssp_paths(spark, sf_dir):
+    """Dijkstra with path reconstruction over the UNDIRECTED weighted
+    customer->supplier graph restricted to custkey < 300; source = min
+    custkey. Weights are lineitem counts (integral doubles), so distance
+    arithmetic is float-exact in both engines. Path rendered as a '->'
+    string (engine-portable value compare)."""
+    from graph_data_science_spark.operators.dijkstra import dijkstra
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _cs_edges_small(spark, sf_dir)
+    src = edges.agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    res = dijkstra(g, source=int(src), max_iterations=SSSP_UNROLLED, stats_interval=5)
+    return res.paths.select(
+        "source_node", "target_node",
+        F.round("total_cost", 4).alias("total_cost"),
+        F.array_join("node_ids", "->").alias("path"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = mm.synthesize_media(spark, n=64)
     return mm.extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
@@ -309,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "graph_modularity": _q_modularity,
         "graph_conductance": _q_conductance,
+        "graph_louvain": _q_louvain,
+        "graph_betweenness_tree": _q_betweenness_tree,
+        "graph_sssp_paths": _q_sssp_paths,
     }
 
 
@@ -525,7 +658,90 @@ def _ngram_oracle_sql() -> str:
     """
 
 
+def _sssp_paths_oracle_sql() -> str:
+    """Unrolled min-relaxation (SSSP_UNROLLED rounds) + deterministic
+    parent tree (min optimal predecessor) + recursive parent walk."""
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT src, dst, weight FROM e "
+        "UNION ALL SELECT dst, src, weight FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "s AS MATERIALIZED (SELECT MIN(src) AS sid FROM e)",
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT sid FROM s) "
+        "THEN 0.0 ELSE 1e18 END AS d FROM nodes)",
+    ]
+    # every CTE the recursive walk references must be MATERIALIZED, or
+    # DuckDB re-inlines the whole chain per recursion step
+    for k in range(1, SSSP_UNROLLED + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT n.vid, LEAST(dp.d, COALESCE(r.cand, 1e18)) AS d "
+            f"FROM nodes n JOIN d{p} dp ON dp.vid = n.vid LEFT JOIN ("
+            f"SELECT eu.dst AS vid, MIN(dd.d + eu.weight) AS cand "
+            f"FROM eu JOIN d{p} dd ON dd.vid = eu.src GROUP BY eu.dst) r "
+            f"ON r.vid = n.vid)"
+        )
+    K = SSSP_UNROLLED
+    # NB: DuckDB 1.0 pathologically re-plans non-recursive CTEs that live
+    # inside a WITH RECURSIVE clause (measured: the 0.3 s distance chain
+    # blows past 250 s). So the entire distance/parent computation runs as
+    # a plain WITH inside a subquery, and only the parent walk is
+    # recursive, over one MATERIALIZED base table.
+    inner = f"""
+        WITH {','.join(ctes)},
+        parent AS MATERIALIZED (
+            SELECT eu.dst AS vid, MIN(eu.src) AS parent
+            FROM eu JOIN d{K} ds ON ds.vid = eu.src JOIN d{K} dd ON dd.vid = eu.dst
+            WHERE ds.d + eu.weight = dd.d AND dd.d < 1e17
+              AND eu.dst <> (SELECT sid FROM s)
+            GROUP BY eu.dst
+        )
+        SELECT dd.vid, dd.d, p.parent, (SELECT sid FROM s) AS sid
+        FROM d{K} dd LEFT JOIN parent p ON p.vid = dd.vid
+        WHERE dd.d < 1e17
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    walk(target, cur, path) AS (
+        SELECT vid, vid, CAST(vid AS VARCHAR) FROM base
+        UNION ALL
+        SELECT w.target, b.parent, CAST(b.parent AS VARCHAR) || '->' || w.path
+        FROM walk w JOIN base b ON b.vid = w.cur AND b.parent IS NOT NULL
+    )
+    SELECT b.sid AS source_node, w.target AS target_node,
+           ROUND(b2.d, 4)::DOUBLE AS total_cost, w.path AS path
+    FROM walk w JOIN base b2 ON b2.vid = w.target, (SELECT DISTINCT sid FROM base) b
+    WHERE w.cur = b.sid
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    louvain_oracle = f"""
+    {_CLIQUE_RING_SQL}
+    SELECT c_custkey AS vid,
+           MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS community
+    FROM s
+    """
+
+    betweenness_tree_oracle = f"""
+    {_TREE_SQL},
+    dcust AS (SELECT o_custkey AS vid, COUNT(*) AS d FROM os GROUP BY 1),
+    dnat AS (
+        SELECT c_nationkey AS n, COUNT(*) + SUM(COALESCE(dc.d, 0)) AS d
+        FROM cs LEFT JOIN dcust dc ON dc.vid = cs.c_custkey
+        GROUP BY 1
+    ),
+    nodes AS (SELECT src AS vid FROM te UNION SELECT dst FROM te)
+    SELECT n.vid,
+           ROUND(CASE
+               WHEN n.vid >= 3000000 THEN 0.0
+               WHEN n.vid >= 2000000 THEN
+                   1.0 * COALESCE((SELECT d FROM dnat WHERE n = n.vid - 2000000), 0)
+               WHEN n.vid >= 1000000 THEN 0.0
+               ELSE 2.0 * COALESCE((SELECT d FROM dcust dc WHERE dc.vid = n.vid), 0)
+           END, 4)::DOUBLE AS score
+    FROM nodes n
+    """
     lpa_oracle = f"""
     WITH e AS ({_CS_EDGES_SQL}),
     nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
@@ -689,6 +905,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "multimodal_features": _MULTIMODAL_ORACLE_SQL,
+        "graph_louvain": louvain_oracle,
+        "graph_betweenness_tree": betweenness_tree_oracle,
+        "graph_sssp_paths": _sssp_paths_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

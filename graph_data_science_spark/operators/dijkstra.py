@@ -192,6 +192,34 @@ def dijkstra(
     state, ran, conv, metrics = _parent_fixpoint(
         graph, source, max_iterations, engine, stats_interval
     )
+    # Deterministic shortest-path TREE: the fixpoint's parent is the min
+    # sender among the EARLIEST-settling optimal predecessors (an artifact
+    # of relaxation order); recompute it as the GLOBAL min optimal
+    # predecessor — parent(v) = min src with dist(src) + w(src,v) ==
+    # dist(v) — one join, engine-portable (a SQL oracle computes the same
+    # tree from the same distances).
+    fin = state.select("vid", "dist")
+    d_src = fin.select(F.col("vid").alias("src"), F.col("dist").alias("d_src"))
+    d_dst = fin.select(F.col("vid").alias("dst"), F.col("dist").alias("d_dst"))
+    best_parent = (
+        graph.edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .filter(
+            (F.col("d_src") + F.col("weight") == F.col("d_dst"))
+            & (F.col("d_dst") != _INF)
+        )
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.min("src").alias("parent"))
+    )
+    state = (
+        fin.join(best_parent, "vid", "left")
+        .select(
+            "vid", "dist",
+            F.when(F.col("vid") == source, F.lit(None).cast("long"))
+            .otherwise(F.col("parent")).alias("parent"),
+        )
+        .persist()
+    )
     reachable = state.filter(F.col("dist") < _INF).select("vid")
     if targets is not None:
         tlist = list(targets)
