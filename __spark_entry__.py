@@ -156,8 +156,13 @@ def _q_wcc_threshold(spark, sf_dir):
 
 
 def _q_lpa(spark, sf_dir):
+    """LPA run TO CONVERGENCE (the bipartite customer->supplier graph
+    converges in one sync pass: suppliers have no out-edges so their
+    labels are fixed points; the bound is just a safety cap)."""
     g = Graph.from_edges(_cs_edges(spark, sf_dir))
-    return label_propagation(g, max_iterations=2).labels.select("vid", "label")
+    res = label_propagation(g, max_iterations=20)
+    assert res.did_converge, "graph_lpa expected to converge"
+    return res.labels.select("vid", "label")
 
 
 def _q_triangle_per_node(spark, sf_dir):

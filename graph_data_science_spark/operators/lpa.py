@@ -54,20 +54,30 @@ def label_propagation(
     engine: PregelEngine | None = None,
     resume: bool = False,
     stats_interval: int = 1,
-    mode: str = "sync",  # sync (BSP, scalable) | async_serial (reference parity)
+    mode: str = "sync",  # sync | block_async | async_serial
+    blocks: int = 16,
 ) -> LpaResult:
     """mode="sync" is the scalable BSP formulation (deterministic, may
     oscillate on unstable graphs where the reference's async impl
-    converges). mode="async_serial" executes the native algorithm
-    EXACTLY (sequential by mapped id, labels updated in place,
-    ComputeStep.java:80-90) — the parity/debug path that reproduces the
-    reference fixtures bit-for-bit; it materializes the graph on the
-    driver, so use it only at validation scale. The scalable middle
-    ground (async within partition, sync across — "block-async") is the
-    natural extension if sync oscillation bites in production."""
+    converges). mode="block_async" is the scalable middle ground: nodes
+    are hash-assigned to `blocks` blocks (salted per iteration), each
+    block processes its nodes sequentially with IN-PLACE label updates
+    (async — kills same-block oscillation, exactly the reference's
+    in-place semantics at block granularity) while cross-block neighbors
+    are read at last-superstep values (sync). The per-iteration salt
+    re-partitions the blocks, so any oscillating cross-block pair
+    co-locates within a few iterations and settles. Deterministic for a
+    fixed `blocks`. mode="async_serial" executes the native algorithm
+    EXACTLY (sequential by mapped id, ComputeStep.java:80-90) — the
+    parity/debug path; it materializes the graph on the driver, so it
+    refuses to run above validation scale."""
     if mode == "async_serial":
         return _label_propagation_async_serial(
             graph, max_iterations, seed_col, node_weight_col
+        )
+    if mode == "block_async":
+        return _label_propagation_block_async(
+            graph, max_iterations, seed_col, node_weight_col, blocks
         )
     spark = graph.edges.sparkSession
     # co-partition + sort once on the gather key (dst), reuse per superstep
@@ -143,6 +153,129 @@ def label_propagation(
     )
 
 
+def _label_propagation_block_async(
+    graph: Graph,
+    max_iterations: int,
+    seed_col: str | None,
+    node_weight_col: str | None,
+    blocks: int,
+) -> LpaResult:
+    """Async-within-block, sync-across-blocks LPA (see label_propagation).
+
+    Per iteration:
+      1. block id = pmod(xxhash64(vid, iteration), blocks) — the salt
+         reshuffles block membership so no node pair stays cross-block
+         forever;
+      2. every edge (voter, nbr, w*nw(nbr)) is tagged with the voter's
+         block and the nbr's CURRENT label, then cogrouped with the
+         block's node slice;
+      3. a vectorized pandas kernel per block replays the reference's
+         in-place loop (ascending vid; votes over current labels, where
+         same-block neighbors reflect this pass's updates).
+    Shuffle per iteration = one edge join + one cogroup — same order as
+    the sync variant; the kernel is O(block edges) python-side but
+    numpy/dict-based over Arrow batches (no per-row Python UDF calls).
+    """
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    nodes = graph.nodes
+    if seed_col is not None:
+        max_seed = nodes.agg(F.max(F.col(seed_col))).collect()[0][0]
+        max_seed = -1 if max_seed is None else max_seed
+        init_label = F.coalesce(
+            F.col(seed_col).cast("long"), F.col("vid") + F.lit(max_seed + 1)
+        )
+    else:
+        init_label = F.col("vid")
+    node_weight = (
+        F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0))
+        if node_weight_col
+        else F.lit(1.0)
+    )
+    state = nodes.select("vid", init_label.alias("label"), node_weight.alias("nw"))
+    state = state.localCheckpoint(eager=True)
+    edges = graph.edges.select(
+        F.col("src").alias("voter"), F.col("dst").alias("nbr"), "weight"
+    ).persist()
+
+    out_schema = "vid long, label long, nw double, changed int"
+
+    def block_kernel(key, node_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        node_pdf = node_pdf.sort_values("vid")
+        labels = dict(zip(node_pdf["vid"], node_pdf["label"]))
+        # adjacency within this block's voters: nbr label is a SNAPSHOT
+        # except same-block nbrs, which read the live dict
+        by_voter: dict = {}
+        for voter, nbr, w, nbr_label in zip(
+            edge_pdf["voter"], edge_pdf["nbr"], edge_pdf["w"], edge_pdf["nbr_label"]
+        ):
+            by_voter.setdefault(voter, []).append((nbr, w, nbr_label))
+        changed = 0
+        for vid in node_pdf["vid"]:
+            nbrs = by_voter.get(vid)
+            if not nbrs:
+                continue
+            votes: dict = {}
+            for nbr, w, snap_label in nbrs:
+                lbl = labels.get(nbr, snap_label)  # live if same-block
+                votes[lbl] = votes.get(lbl, 0.0) + w
+            cur = labels[vid]
+            best_label, best_w = cur, float("-inf")
+            for lbl, w in votes.items():
+                if w > best_w or (w == best_w and lbl < best_label):
+                    best_w, best_label = w, lbl
+            if best_label != cur:
+                labels[vid] = best_label
+                changed += 1
+        return pd.DataFrame(
+            {
+                "vid": node_pdf["vid"],
+                "label": [labels[v] for v in node_pdf["vid"]],
+                "nw": node_pdf["nw"],
+                "changed": [changed] + [0] * (len(node_pdf) - 1),
+            }
+        )
+
+    ran = 0
+    did_converge = False
+    for it in range(max_iterations):
+        blk = F.pmod(F.xxhash64(F.col("vid"), F.lit(it)), F.lit(blocks))
+        st_b = state.withColumn("block", blk)
+        nbr_labels = state.select(
+            F.col("vid").alias("nbr"), F.col("label").alias("nbr_label"),
+            F.col("nw").alias("nbr_nw"),
+        )
+        ed_b = (
+            edges.join(nbr_labels, "nbr")
+            .select(
+                F.pmod(F.xxhash64(F.col("voter"), F.lit(it)), F.lit(blocks)).alias("block"),
+                "voter", "nbr",
+                (F.col("weight") * F.col("nbr_nw")).alias("w"),
+                "nbr_label",
+            )
+        )
+        new_state = (
+            st_b.groupBy("block")
+            .cogroup(ed_b.groupBy("block"))
+            .applyInPandas(block_kernel, schema=out_schema)
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_state.agg(F.sum("changed")).collect()[0][0] or 0
+        state = new_state.select("vid", "label", "nw")
+        ran = it + 1
+        if n_changed == 0:
+            did_converge = True
+            break
+    edges.unpersist()
+    return LpaResult(
+        labels=state.select("vid", "label"),
+        ran_iterations=ran,
+        did_converge=did_converge,
+        metrics=[],
+    )
+
+
 def _label_propagation_async_serial(
     graph: Graph,
     max_iterations: int,
@@ -155,9 +288,14 @@ def _label_propagation_async_serial(
     later nodes in the same pass observe earlier updates; vote tally is
     max weight, ties to the smaller label; converged when a full pass
     changes nothing."""
-    import numpy as np
-
     spark = graph.edges.sparkSession
+    n_edges = graph.edges.count()
+    if n_edges > 1_000_000:
+        raise ValueError(
+            f"async_serial is a validation-scale parity mode (collects the "
+            f"graph to the driver); got {n_edges} edges > 1e6 — use "
+            f"mode='block_async' for the scalable async variant"
+        )
     nodes = graph.nodes
     node_rows = nodes.orderBy("vid").collect()
     vids = [r["vid"] for r in node_rows]

@@ -133,33 +133,75 @@ def sssp(
     )
 
 
-def topological_sort(graph: Graph, max_iterations: int = 1000) -> DataFrame:
-    """(vid, layer): iterative zero-in-degree peeling; layer = longest
-    path from any source. Nodes on cycles get layer NULL (the reference
+def topological_sort(
+    graph: Graph,
+    max_iterations: int = 1000,
+    engine: PregelEngine | None = None,
+    stats_interval: int = 8,
+) -> DataFrame:
+    """(vid, layer): in-degree-decrement peeling on the PregelEngine;
+    layer = longest path from any source (gds.dag.topologicalSort +
+    longestPath layering). Nodes on cycles get layer NULL (the reference
     skips them too — TopologicalSort.java processes only nodes whose
-    in-degree drains to zero)."""
+    in-degree drains to zero).
+
+    Superstep s: nodes assigned layer s-1 send one decrement per
+    out-edge; a node whose in-degree hits zero is assigned layer s.
+    Riding the engine bounds lineage per superstep (the old driver loop
+    accumulated an unbounded unionByName and leaked one cached frame per
+    layer on deep DAGs) and gives checkpoint/resume for free."""
     spark = graph.edges.sparkSession
-    edges = graph.edges.select("src", "dst").persist()
-    remaining = graph.nodes.select("vid").persist()
-    out = None
-    layer = 0
-    while layer < max_iterations:
-        indeg = (
-            remaining.join(edges.withColumnRenamed("dst", "vid"), "vid", "left_semi")
-            .select("vid")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        .repartition(n_part, "e_src")
+        .sortWithinPartitions("e_src")
+        .persist()
+    )
+    indeg0 = (
+        graph.nodes.select("vid")
+        .join(
+            edges.groupBy(F.col("e_dst").alias("vid")).agg(F.count(F.lit(1)).alias("d")),
+            "vid", "left",
         )
-        zero = remaining.join(indeg, "vid", "left_anti").withColumn("layer", F.lit(layer))
-        zero = zero.persist()
-        n_zero = zero.count()
-        if n_zero == 0:
-            break
-        out = zero if out is None else out.unionByName(zero)
-        new_remaining = remaining.join(zero.select("vid"), "vid", "left_anti").persist()
-        edges = edges.join(zero.select(F.col("vid").alias("src")), "src", "left_anti").persist()
-        remaining.unpersist()
-        remaining = new_remaining
-        layer += 1
-    base = graph.nodes.select("vid")
-    if out is None:
-        return base.withColumn("layer", F.lit(None).cast("long"))
-    return base.join(out.withColumn("layer", F.col("layer").cast("long")), "vid", "left")
+        .select("vid", F.coalesce("d", F.lit(0)).alias("indeg"))
+    )
+    state0 = indeg0.select(
+        "vid", "indeg",
+        F.when(F.col("indeg") == 0, F.lit(0)).cast("long").alias("layer"),
+    )
+
+    def step(state: DataFrame, s: int) -> DataFrame:
+        if s == 0:
+            return state  # state0 is superstep 0's output (sources at layer 0)
+        senders = state.filter(F.col("layer") == s - 1).select(
+            F.col("vid").alias("e_src")
+        )
+        msgs = (
+            senders.join(edges, "e_src")
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_indeg = F.col("indeg") - F.coalesce(F.col("dec"), F.lit(0))
+        newly = F.col("layer").isNull() & (new_indeg == 0) & F.col("dec").isNotNull()
+        return joined.select(
+            "vid",
+            new_indeg.alias("indeg"),
+            F.when(newly, F.lit(s).cast("long")).otherwise(F.col("layer")).alias("layer"),
+        )
+
+    eng = engine or PregelEngine(spark)
+    res = eng.run(
+        initial_state=state0,
+        step=step,
+        # converge when the newest layer produced no nodes: track the max
+        # assigned layer — if it lags the superstep counter, peeling is done
+        stats_exprs=[F.max("layer").alias("max_layer")],
+        converged=lambda st: (st["max_layer"] if st["max_layer"] is not None else -1)
+        < st["superstep"],
+        max_iterations=max_iterations,
+        stats_interval=stats_interval,
+    )
+    edges.unpersist()
+    return res.state.select("vid", "layer")

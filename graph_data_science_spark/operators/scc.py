@@ -39,11 +39,14 @@ from graph_data_science_spark.plans.graph import Graph
 class SccResult:
     components: DataFrame  # (vid, component) — component = max vid in SCC
     rounds: int
+    did_converge: bool = True  # False => round/iteration budget exhausted;
+    # leftover nodes were assigned singleton components (component = vid)
+    # and one SCC may be split across ids — treat results as approximate
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
 def _max_color_fixpoint(nodes: DataFrame, edges: DataFrame, eng: PregelEngine,
-                        max_iterations: int) -> DataFrame:
+                        max_iterations: int) -> tuple[DataFrame, bool]:
     """color(v) := max(own vid, colors of forward predecessors)."""
     state0 = nodes.select("vid", F.col("vid").alias("color"), F.lit(True).alias("changed"))
 
@@ -68,11 +71,11 @@ def _max_color_fixpoint(nodes: DataFrame, edges: DataFrame, eng: PregelEngine,
         converged=lambda st: (st["changed_count"] or 0) == 0,
         max_iterations=max_iterations,
     )
-    return res.state.select("vid", "color")
+    return res.state.select("vid", "color"), res.did_converge
 
 
 def _backward_reach_within_color(colors: DataFrame, edges: DataFrame,
-                                 eng: PregelEngine, max_iterations: int) -> DataFrame:
+                                 eng: PregelEngine, max_iterations: int) -> tuple[DataFrame, bool]:
     """Nodes that reach their color root going backward, staying inside
     their color class. Returns (vid, color) of matched nodes."""
     # reversed edges restricted to same-color endpoints
@@ -107,7 +110,7 @@ def _backward_reach_within_color(colors: DataFrame, edges: DataFrame,
         converged=lambda st: (st["changed_count"] or 0) == 0,
         max_iterations=max_iterations,
     )
-    return res.state.filter(F.col("reached")).select("vid", "color")
+    return res.state.filter(F.col("reached")).select("vid", "color"), res.did_converge
 
 
 def scc(graph: Graph, max_rounds: int = 50, max_iterations: int = 100,
@@ -122,14 +125,17 @@ def scc(graph: Graph, max_rounds: int = 50, max_iterations: int = 100,
     remaining_edges = edges_all
     assigned = None
     rounds = 0
+    did_converge = True
+    n_left = 0
     while rounds < max_rounds:
         rounds += 1
         n_left = remaining_nodes.count()
         if n_left == 0:
             break
-        colors = _max_color_fixpoint(remaining_nodes, remaining_edges, eng, max_iterations)
+        colors, conv_c = _max_color_fixpoint(remaining_nodes, remaining_edges, eng, max_iterations)
         colors = colors.persist()
-        matched = _backward_reach_within_color(colors, remaining_edges, eng, max_iterations)
+        matched, conv_b = _backward_reach_within_color(colors, remaining_edges, eng, max_iterations)
+        did_converge = did_converge and conv_c and conv_b
         matched = matched.select("vid", F.col("color").alias("component")).persist()
         matched.count()
         assigned = matched if assigned is None else assigned.unionByName(matched).persist()
@@ -149,7 +155,15 @@ def scc(graph: Graph, max_rounds: int = 50, max_iterations: int = 100,
         remaining_nodes, remaining_edges = new_nodes, new_edges
 
     edges_all.unpersist()
+    # round budget exhausted with nodes left: assign them singleton
+    # components (component = own vid) rather than silently dropping them,
+    # and surface the truncation via did_converge=False
+    if rounds >= max_rounds and remaining_nodes.count() > 0:
+        leftover = remaining_nodes.select("vid", F.col("vid").alias("component"))
+        assigned = leftover if assigned is None else assigned.unionByName(leftover)
+        did_converge = False
     out = assigned if assigned is not None else graph.nodes.select(
         "vid", F.col("vid").alias("component")
     )
-    return SccResult(components=out.select("vid", "component"), rounds=rounds)
+    return SccResult(components=out.select("vid", "component"), rounds=rounds,
+                     did_converge=did_converge)

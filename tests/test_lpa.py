@@ -81,3 +81,60 @@ def test_no_out_neighbors_keeps_label(spark):
     assert got[7] == 7  # isolated keeps own label
     assert got[1] == 1  # sink keeps own label
     assert got[0] == 1  # adopts its only out-neighbor's label
+
+
+def test_lpa_block_async_kills_two_cycle_oscillation(spark):
+    # a<->b two-cycle: sync oscillates forever; block-async settles
+    from graph_data_science_spark.operators.lpa import label_propagation
+    from graph_data_science_spark.plans.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(edges)
+    sync = label_propagation(g, max_iterations=6, mode="sync")
+    assert not sync.did_converge  # oscillates by construction
+    ba = label_propagation(g, max_iterations=10, mode="block_async", blocks=4)
+    assert ba.did_converge
+    labels = {r["vid"]: r["label"] for r in ba.labels.collect()}
+    # async semantics: the first-processed node adopts its neighbor's
+    # label and the pair settles on it (same outcome as the reference's
+    # in-place loop: a takes b's label 1, b then sees 1 and stays)
+    assert labels[0] == labels[1]
+
+
+def test_lpa_block_async_matches_reference_fixture(spark):
+    # the stable reference fixture (LabelPropagationTest.java:94-135 style)
+    # where sync and async agree: two directed triangles
+    from graph_data_science_spark.operators.lpa import label_propagation
+    from graph_data_science_spark.plans.graph import Graph
+
+    tri = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    rows = [(a, b, 1.0) for a, b in tri] + [(b, a, 1.0) for a, b in tri]
+    g = Graph.from_edges(spark.createDataFrame(rows, "src long, dst long, weight double"))
+    # blocks=1 degenerates to the exact async_serial schedule (one block,
+    # ascending vid, in-place) -> bit-identical labels
+    ba1 = label_propagation(g, max_iterations=20, mode="block_async", blocks=1)
+    ser = label_propagation(g, max_iterations=20, mode="async_serial")
+    assert ba1.did_converge and ser.did_converge
+    la = {r["vid"]: r["label"] for r in ba1.labels.collect()}
+    ls = {r["vid"]: r["label"] for r in ser.labels.collect()}
+    assert la == ls
+    # multi-block schedule converges too (possibly to another fixed point)
+    ba3 = label_propagation(g, max_iterations=20, mode="block_async", blocks=3)
+    assert ba3.did_converge
+
+
+def test_lpa_async_serial_scale_guard(spark):
+    import pytest as _pytest
+    from graph_data_science_spark.operators.lpa import label_propagation
+    from graph_data_science_spark.plans.graph import Graph
+    from pyspark.sql import functions as F
+
+    big = spark.range(1_100_000).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 1_100_000).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = Graph.from_edges(big)
+    with _pytest.raises(ValueError, match="async_serial"):
+        label_propagation(g, max_iterations=1, mode="async_serial")

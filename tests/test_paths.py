@@ -52,3 +52,18 @@ def test_topological_sort_cycle_nulls(spark):
     got = {r["vid"]: r["layer"] for r in topological_sort(g).collect()}
     assert got[0] == 0
     assert got[1] is None and got[2] is None
+
+
+def test_topological_sort_deep_chain(spark):
+    # 400-layer chain: the engine-backed peeling must complete with
+    # bounded lineage (the old driver loop leaked one cache per layer)
+    from graph_data_science_spark.operators.paths import topological_sort
+    from graph_data_science_spark.plans.graph import Graph
+
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(edges)
+    out = {r["vid"]: r["layer"] for r in topological_sort(g, max_iterations=n + 5).collect()}
+    assert out == {i: i for i in range(n)}

@@ -45,3 +45,22 @@ def test_directionality_matters_vs_wcc(spark):
     )
     got = comps(scc(Graph.from_edges(edges)))
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_scc_round_budget_truncation(spark):
+    # two 2-cycles in a chain need >1 peeling round; with max_rounds=1 the
+    # leftovers must still be assigned (singletons) and flagged
+    from graph_data_science_spark.operators.scc import scc as _scc
+    from graph_data_science_spark.plans.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    res = _scc(g, max_rounds=1)
+    assert res.components.count() == 4  # nobody dropped
+    full = _scc(g)
+    assert full.did_converge
+    comp = {r["vid"]: r["component"] for r in full.components.collect()}
+    assert comp[0] == comp[1] and comp[2] == comp[3] and comp[0] != comp[2]
