@@ -89,3 +89,48 @@ def test_community_stats(spark):
     st = community_size_stats(df)
     assert st["communityCount"] == 3
     assert st["min"] == 3 and st["max"] == 3
+
+
+def test_node_similarity_hub_cap_exact_for_nonhub_pairs(spark):
+    # hub node 999 shared by everyone; pairs also share non-hub neighbors.
+    # With the cap, similarities must be IDENTICAL to the exact run for
+    # every pair that shares at least one non-hub neighbor (hub counts are
+    # corrected back per pair).
+    from graph_data_science_spark.operators.similarity import node_similarity
+    from graph_data_science_spark.plans.graph import Graph
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(200):
+        rows.append((i, 999, 1.0))          # everyone -> hub
+        rows.append((i, 1000 + i % 20, 1.0))  # 20 non-hub clusters
+    g = Graph.from_edges(spark.createDataFrame(rows, "src long, dst long, weight double"))
+    exact = node_similarity(g, top_k=50)
+    capped = node_similarity(g, top_k=50, max_shared_degree=50)
+    ex = {(r["node1"], r["node2"]): r["similarity"] for r in exact.collect()}
+    cp = {(r["node1"], r["node2"]): r["similarity"] for r in capped.collect()}
+    # every capped pair matches the exact similarity
+    for k, v in cp.items():
+        assert abs(ex[k] - v) < 1e-12
+    # pairs sharing a non-hub neighbor are all present
+    shared_nonhub = {
+        (a, b) for a in range(200) for b in range(200)
+        if a != b and a % 20 == b % 20
+    }
+    assert shared_nonhub <= set(cp)
+
+
+def test_filtered_node_similarity_topk_among_allowed(spark):
+    # node 0's similarity: sim(0,1)=1.0 (same nbrs), sim(0,2)=1/3.
+    # With top_k=1 and target filter {2}, the reference keeps (0,2) —
+    # its best ALLOWED target — not an empty set.
+    from graph_data_science_spark.operators.similarity import filtered_node_similarity
+    from graph_data_science_spark.plans.graph import Graph
+
+    rows = [(0, 10, 1.0), (0, 11, 1.0), (1, 10, 1.0), (1, 11, 1.0),
+            (2, 10, 1.0), (2, 12, 1.0)]
+    g = Graph.from_edges(spark.createDataFrame(rows, "src long, dst long, weight double"))
+    tgt = spark.createDataFrame([(2,)], "vid long")
+    out = filtered_node_similarity(g, target_filter=tgt, top_k=1).collect()
+    got = {(r["node1"], r["node2"]) for r in out}
+    assert (0, 2) in got
