@@ -146,6 +146,60 @@ class Algo:
                      {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def modularity_optimization(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.louvain import modularity_optimization
+
+        r = modularity_optimization(self.graph, **kw)
+        return _mode(r.communities, "community",
+                     {"modularity": r.modularity, "ranIterations": r.ran_iterations,
+                      "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def sllpa(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.sllpa import sllpa as _sllpa
+
+        r = _sllpa(self.graph, **kw)
+        return _mode(r.communities, "community_ids",
+                     {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
+
+    def approx_max_k_cut(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.maxkcut import approx_max_k_cut as _mkc
+
+        r = _mkc(self.graph, **kw)
+        return _mode(r.assignments, "community",
+                     {"cutCost": r.cut_cost, "ranIterations": r.ran_iterations},
+                     self.catalog, self.graph.name)
+
+    def kmeans(self, property_col: str, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.kmeans import kmeans as _km
+
+        r = _km(self.graph.nodes, property_col, **kw)
+        return _mode(r.assignments, "community",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge,
+                      "centroids": r.centroids},
+                     self.catalog, self.graph.name)
+
+    def spanning_tree(self, start_node: int, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.spanningtree import spanning_tree as _st
+
+        r = _st(self.graph, start_node, **kw)
+        return _mode(r.tree, "weight",
+                     {"totalWeight": r.total_weight,
+                      "effectiveNodeCount": r.effective_node_count},
+                     self.catalog, self.graph.name)
+
+    def k_spanning_tree(self, start_node: int, k: int, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.spanningtree import k_spanning_tree as _kst
+
+        return _mode(_kst(self.graph, start_node, k, **kw), "component", {"k": k},
+                     self.catalog, self.graph.name)
+
+    def dfs(self, source: int, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.traversal import dfs as _dfs
+
+        return _mode(_dfs(self.graph, source, **kw), "visit_order", {},
+                     self.catalog, self.graph.name)
+
     def triangle_count(self, **kw) -> ModeResult:
         r = _triangle.triangle_count(self.graph, **kw)
         return _mode(r.per_node, "triangles", {"globalTriangleCount": r.global_count},

@@ -243,6 +243,78 @@ def _local_move(
     return assign, float(q_prev if q_prev is not None else 0.0), iters
 
 
+@dataclass
+class ModularityOptimizationResult:
+    communities: DataFrame  # (vid, community)
+    modularity: float
+    ran_iterations: int
+    did_converge: bool
+
+
+def modularity_optimization(
+    graph: Graph,
+    max_iterations: int = 10,
+    tolerance: float = 1e-4,
+    gamma: float = 1.0,
+    seed: DataFrame | None = None,
+) -> ModularityOptimizationResult:
+    """gds.beta.modularityOptimization — ONE level of local moving
+    (ModularityOptimization.java), i.e. Louvain without the hierarchy.
+    Defaults mirror ModularityOptimizationBaseConfig (maxIterations=10,
+    tolerance=1e-4). Community ids are relabeled to the min member vid
+    unless seeded."""
+    spark = graph.edges.sparkSession
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = _canonical_edges(graph).filter(F.col("src") != F.col("dst")).persist()
+        self_w = (
+            _canonical_edges(graph)
+            .filter(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("weight").alias("w_self"))
+            .persist()
+        )
+        node_ids = graph.nodes.select("vid")
+        m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0) + float(
+            self_w.agg(F.sum("w_self")).collect()[0][0] or 0.0
+        )
+        if m <= 0:
+            return ModularityOptimizationResult(
+                communities=node_ids.select("vid", F.col("vid").alias("community")),
+                modularity=0.0, ran_iterations=0, did_converge=True,
+            )
+        seed_assign = None
+        if seed is not None:
+            max_seed = seed.agg(F.max("seed")).collect()[0][0] or 0
+            seed_assign = node_ids.join(seed, "vid", "left").select(
+                "vid",
+                F.coalesce(F.col("seed"), F.col("vid") + F.lit(max_seed + 1)).alias("community"),
+            )
+        assign, q, iters = _local_move(
+            edges, self_w, node_ids, m, max_iterations, tolerance, gamma, seed_assign
+        )
+        if seed is None:
+            relabel = assign.groupBy("community").agg(F.min("vid").alias("new_c"))
+            assign = assign.join(relabel, "community").select(
+                "vid", F.col("new_c").alias("community")
+            )
+        assign = cut_lineage(assign)
+        edges.unpersist()
+        self_w.unpersist()
+        return ModularityOptimizationResult(
+            communities=assign,
+            modularity=q,
+            ran_iterations=iters,
+            did_converge=iters < max_iterations,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def louvain(
     graph: Graph,
     max_levels: int = 10,

@@ -83,6 +83,117 @@ def random_walks(
     return out
 
 
+def sample_cnarw(
+    graph: Graph,
+    start_nodes: DataFrame,
+    restart_probability: float = 0.1,
+    walk_length: int = 10,
+    walks_per_node: int = 5,
+    seed: int = 42,
+) -> Graph:
+    """Common-neighbor-aware random walk sampling (gds.graph.sample.cnarw,
+    graph-sampling/.../samplers/rw/cnarw — CNARW, Li et al., public
+    literature): like RWR, but the next-hop choice is BIASED toward
+    neighbors sharing many common neighbors with the current node
+    (weight 1 + |N(cur) ∩ N(next)|), which steers walks into dense
+    clusters instead of escaping through bridges.
+
+    The per-edge common-neighbor counts are precomputed once with the
+    same shared-neighbor self-join node_similarity uses (bounded by
+    Σ_c indeg(c)²; cap hubs upstream via filter_edges for skewed
+    graphs). The biased pick folds a deterministic hash over the
+    cumulative weights — no RNG state, partition-invariant."""
+    # common neighbors per existing edge (u,v): count of w with u->w, v->w
+    e = graph.edges.select("src", "dst").distinct()
+    l1 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    l2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        l1.join(l2, "w")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    weighted_adj = (
+        e.join(
+            cn.select(F.col("u").alias("src"), F.col("v").alias("dst"), "cn"),
+            ["src", "dst"], "left",
+        )
+        .select(
+            "src", "dst", (F.lit(1.0) + F.coalesce("cn", F.lit(0))).alias("wt")
+        )
+        .groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dst", "wt"))).alias("nbrs"),
+        )
+        .withColumn(
+            "total_wt",
+            F.aggregate("nbrs", F.lit(0.0), lambda a, x: a + x["wt"]),
+        )
+        .persist()
+    )
+    walkers = start_nodes.select(
+        F.col("vid").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+    ).select(
+        F.concat_ws("_", F.col("start"), F.col("w")).alias("walk_id"),
+        "start",
+        F.col("start").alias("cur"),
+    )
+    visited = walkers.select(F.col("cur").alias("vid"))
+    state = walkers.persist()
+    p_scaled = int(restart_probability * (1 << 30))
+    for step in range(walk_length):
+        nbr = weighted_adj.select(F.col("vid").alias("cur"), "nbrs", "total_wt")
+        joined = state.join(nbr, "cur", "left")
+        restart = (
+            F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("walk_id"), F.lit(step))),
+                   F.lit(1 << 30))
+            < p_scaled
+        )
+        # weighted pick: fold cumulative weights against a hash in
+        # [0, total_wt) — the deterministic analogue of roulette sampling
+        r = (
+            F.pmod(F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))),
+                   F.lit(1 << 30)).cast("double")
+            / F.lit(float(1 << 30))
+            * F.col("total_wt")
+        )
+        picked = F.aggregate(
+            "nbrs",
+            F.struct(r.alias("rem"), F.lit(None).cast("long").alias("pick")),
+            lambda acc, x: F.when(acc["pick"].isNotNull(), acc)
+            .when(
+                acc["rem"] < x["wt"],
+                F.struct(acc["rem"].alias("rem"), x["dst"].alias("pick")),
+            )
+            .otherwise(
+                F.struct((acc["rem"] - x["wt"]).alias("rem"),
+                         F.lit(None).cast("long").alias("pick"))
+            ),
+        )["pick"]
+        nxt = F.when(restart, F.col("start")).otherwise(
+            F.coalesce(picked, F.col("start"))  # sink -> restart
+        )
+        new_state = joined.select("walk_id", "start", nxt.alias("cur")).persist()
+        new_state.count()
+        state.unpersist()
+        state = new_state
+        visited = visited.unionByName(state.select(F.col("cur").alias("vid")))
+    keep = visited.distinct().persist()
+    kept_nodes = graph.nodes.join(keep, "vid", "left_semi")
+    kept_edges = (
+        graph.edges.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select("src", "dst", "weight")
+    )
+    weighted_adj.unpersist()
+    from dataclasses import replace
+
+    return replace(
+        graph, nodes=kept_nodes, edges=kept_edges, name=f"{graph.name or 'g'}_cnarw"
+    )
+
+
 def sample_rwr(
     graph: Graph,
     start_nodes: DataFrame,
