@@ -134,3 +134,31 @@ def test_filtered_node_similarity_topk_among_allowed(spark):
     out = filtered_node_similarity(g, target_filter=tgt, top_k=1).collect()
     got = {(r["node1"], r["node2"]) for r in out}
     assert (0, 2) in got
+
+
+def test_knn_nn_descent_recall(spark):
+    # clustered vectors: NN-Descent must converge to near-exact top-k
+    from graph_data_science_spark.operators.similarity import knn_nn_descent
+    from graph_data_science_spark.operators import ann
+    from pyspark.sql import functions as F
+    import math, hashlib
+
+    def vec(i):
+        # 3 clusters on a circle + small deterministic jitter
+        c = i % 3
+        jit = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) / 65535.0 * 0.2
+        a = 2 * math.pi * c / 3 + jit
+        return [math.cos(a), math.sin(a)]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    nodes = spark.createDataFrame(rows, "vid long, emb array<double>")
+    got = knn_nn_descent(nodes, "emb", k=5, max_iterations=8)
+    vecs = nodes.select(F.col("vid").alias("vec_id"), F.col("emb").alias("embedding"))
+    exact = ann.brute_force_topk(vecs, vecs, k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.9
+    # every node has exactly k neighbors, ranked
+    cnt = got.groupBy("query_id").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert cnt[0] == cnt[1] == 5
