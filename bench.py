@@ -4,9 +4,12 @@
 Headline (BASELINE.md protocol): PageRank to convergence (tolerance
 1e-6, damping 0.85) on the seeded power-law import graph (seed 42) —
 reports iterate-phase wall-clock, supersteps, and edges-processed/sec
-for BOTH backends (csr = north-rule SpMV blocks, sql = pure-JVM join
-path). Plus wall-clock for a representative subset of the
-__spark_entry__ queries at $SPARK_GRAFT_SF_DIR.
+for BOTH backends. The BLESSED backend is sql (pure-JVM join path):
+round-2 measurements show it beats the csr/Arrow SpMV backend at every
+sandbox-feasible scale (see BENCH/BASELINE.md "backend decision"), so
+sql is the headline metric and csr is tracked as the secondary. Plus
+wall-clock for a representative subset of the __spark_entry__ queries
+at $SPARK_GRAFT_SF_DIR.
 
 Scaling (N vs 4N) is measured by tools/bench_scaling.py (subprocess per
 parallelism level) and recorded in BENCH/BASELINE.md — kept out of the
@@ -74,8 +77,13 @@ def bench_queries(spark) -> dict:
         "graph_pagerank", "graph_wcc", "graph_lpa",
         "graph_triangle_per_node", "graph_degree", "dedup_exact",
         "text_quality", "text_langid", "ann_topk_cosine",
-        "graph_modularity",
+        "graph_modularity", "graph_sssp_paths", "graph_betweenness_tree",
+        "ann_embedding_neardup",
     ]
+    # graph_louvain excluded from the timed subset: its color-sweep level
+    # loop is job-count-bound on the (fixed-size) clique-ring fixture, so
+    # it measures scheduler latency, not data path; it stays in the
+    # CORRECTNESS gate
     qs = entrymod.queries()
     times = {}
     for name in subset:
@@ -93,13 +101,13 @@ def main():
     spark = get_spark(app_name="gds-spark-bench", cores=CPUS,
                       shuffle_partitions=CPUS, driver_memory="48g")
     t_total = time.time()
-    pr_csr = bench_pagerank(spark, "csr")
     pr_sql = bench_pagerank(spark, "sql")
+    pr_csr = bench_pagerank(spark, "csr")
     queries = bench_queries(spark)
     total = round(time.time() - t_total, 3)
     result = {
-        "metric": "pagerank_csr_iterate_sec",
-        "value": pr_csr["wall_sec"],
+        "metric": "pagerank_sql_iterate_sec",
+        "value": pr_sql["wall_sec"],
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
