@@ -97,9 +97,28 @@ def bench_queries(spark) -> dict:
     return times
 
 
+def warmup(spark) -> None:
+    """Untimed warm-up of BOTH backends on a small graph before anything
+    is timed: JVM JIT, codegen caches, and Arrow/pandas worker startup
+    otherwise penalize whichever backend runs first (round 2's sql-vs-csr
+    comparison flipped purely on run order)."""
+    from graph_data_science_spark.operators.pagerank import page_rank
+    from graph_data_science_spark.sources.generator import random_graph
+
+    g = random_graph(spark, 5000, 4, seed=7)
+    g.edges.persist().count()
+    g.nodes.persist().count()
+    for backend in ("sql", "csr"):
+        page_rank(g, damping_factor=0.85, tolerance=1e-3, max_iterations=6,
+                  backend=backend, stats_interval=3).scores.count()
+    g.edges.unpersist()
+    g.nodes.unpersist()
+
+
 def main():
     spark = get_spark(app_name="gds-spark-bench", cores=CPUS,
                       shuffle_partitions=CPUS, driver_memory="48g")
+    warmup(spark)
     t_total = time.time()
     pr_sql = bench_pagerank(spark, "sql")
     pr_csr = bench_pagerank(spark, "csr")

@@ -42,7 +42,11 @@ _INF = float("inf")
 @dataclass
 class BetweennessResult:
     scores: DataFrame  # (vid, score)
-    sources: list[int]
+    source_count: int
+    # populated only in sampled mode (bounded by sampling_size); exact mode
+    # STREAMS sources batch-by-batch and records only the count — holding
+    # all n ids on the driver contradicts the 1e9-node discipline
+    sources: list[int] = field(default_factory=list)
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
@@ -167,23 +171,46 @@ def betweenness(
     graph: Graph,
     sampling_size: int | None = None,
     seed: int = 42,
-    batch_size: int = 64,
+    batch_size: int = 128,
     max_iterations: int = 200,
     engine: PregelEngine | None = None,
 ) -> BetweennessResult:
     """Brandes betweenness. sampling_size=None -> exact (all sources);
     otherwise a deterministic hash-ranked sample of sources whose
-    contributions are summed UNrescaled (reference sampling contract)."""
+    contributions are summed UNrescaled (reference sampling contract).
+
+    Exact mode is inherently O(n/batch_size) BSP passes — the reference's
+    SelectionStrategy exists for the same reason; at scale pass
+    sampling_size. Sources are STREAMED from the nodes DataFrame
+    (toLocalIterator, one partition on the driver at a time), never
+    collected wholesale; per-batch state is array<struct<d,sig>> of
+    batch_size (~16 B x batch_size per row), so batch_size trades driver
+    job count against shuffle row width."""
     spark = graph.edges.sparkSession
     nodes = graph.nodes.select("vid")
-    if sampling_size is None:
-        sources = [r["vid"] for r in nodes.orderBy("vid").collect()]
-    else:
-        sources = [
+
+    sampled: list[int] = []
+    if sampling_size is not None:
+        sampled = [
             r["vid"]
             for r in nodes.orderBy(F.xxhash64(F.lit(seed), F.col("vid")))
             .limit(sampling_size).collect()
         ]
+
+    def source_batches():
+        if sampling_size is not None:
+            for i in range(0, len(sampled), batch_size):
+                yield sampled[i : i + batch_size]
+            return
+        batch = []
+        for r in nodes.orderBy("vid").toLocalIterator(prefetchPartitions=True):
+            batch.append(r["vid"])
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         graph.edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
@@ -196,8 +223,9 @@ def betweenness(
 
     bc = nodes.select("vid", F.lit(0.0).alias("score"))
     metrics: list[dict[str, Any]] = []
-    for i in range(0, len(sources), batch_size):
-        batch = sources[i : i + batch_size]
+    source_count = 0
+    for batch in source_batches():
+        source_count += len(batch)
         fwd, ms = _forward(graph, edges, batch, max_iterations, engine)
         fwd = cut_lineage(fwd)
         metrics.extend(ms)
@@ -228,4 +256,6 @@ def betweenness(
         bc = bc.select("vid", (F.col("score") / 2.0).alias("score"))
     edges.unpersist()
     redges.unpersist()
-    return BetweennessResult(scores=bc, sources=sources, metrics=metrics)
+    return BetweennessResult(
+        scores=bc, source_count=source_count, sources=sampled, metrics=metrics
+    )

@@ -7,22 +7,22 @@ Reference: algo/.../algorithms/community/CommunityCompanion.java:42-103:
     (members get null / are filtered)
   - stats histograms: percentile distribution of community sizes
 
-Spark: dense_rank window for the remap; having-count filter; one
-percentile_approx aggregate for the histogram.
+Spark: two-phase distributed rank (plans/ranking.py) for the remap;
+having-count filter; one percentile_approx aggregate for the histogram.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graph_data_science_spark.plans.ranking import distributed_row_index
 
 
 def consecutive_ids(df: DataFrame, community_col: str = "component") -> DataFrame:
     """Remap ids to consecutive longs 0..k-1 ordered by original id."""
     distinct = df.select(community_col).distinct()
-    mapping = distinct.withColumn(
-        "_new", F.dense_rank().over(Window.orderBy(community_col)) - 1
-    )
+    mapping = distributed_row_index(distinct, [community_col], index_col="_new")
     return (
         df.join(mapping, community_col)
         .drop(community_col)

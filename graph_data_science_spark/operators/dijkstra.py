@@ -165,11 +165,12 @@ def _reconstruct(
         F.reverse("costs_rev").alias("costs"),
     )
     # index: rank by (total_cost, target) — the reference indexes streamed
-    # paths in discovery (cost) order
-    from pyspark.sql import Window
+    # paths in discovery (cost) order. Two-phase distributed rank; the
+    # old unpartitioned orderBy window was a single-partition pass over the whole
+    # path set (fatal for allShortestPaths on a big component).
+    from graph_data_science_spark.plans.ranking import distributed_row_index
 
-    w = Window.orderBy("total_cost", "target_node")
-    return out.withColumn("index", F.row_number().over(w) - 1).select(
+    return distributed_row_index(out, ["total_cost", "target_node"], index_col="index").select(
         "index", "source_node", "target_node", "total_cost", "node_ids", "costs"
     )
 

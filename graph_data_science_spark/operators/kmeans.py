@@ -52,6 +52,8 @@ def kmeans(
 
     Converges when the fraction of nodes that switched cluster is
     <= delta_threshold (reference deltaThreshold semantics)."""
+    if max_iterations < 1:
+        raise ValueError("kmeans requires max_iterations >= 1")
     vecs = nodes.select(
         F.col(id_col).alias("vid"),
         F.col(property_col).cast("array<double>").alias("v"),
@@ -108,8 +110,19 @@ def kmeans(
         prev_assign = assign
         centroids = new_centroids
     vecs.unpersist()
+    # recompute distance_from_centroid against the RETURNED (post-update)
+    # centroids so assignments and centroids are consistent — the loop
+    # measured distance against the pre-update centroids (half an
+    # iteration stale)
+    final_d = F.sqrt(_dist_sq(F.col("v"), centroids[0]))
+    for ci in range(1, k):
+        final_d = F.when(
+            F.col("community") == ci, F.sqrt(_dist_sq(F.col("v"), centroids[ci]))
+        ).otherwise(final_d)
     return KmeansResult(
-        assignments=prev_assign.select("vid", "community", "distance_from_centroid"),
+        assignments=prev_assign.select(
+            "vid", "community", final_d.alias("distance_from_centroid")
+        ),
         centroids=centroids,
         ran_iterations=ran,
         did_converge=did_converge,

@@ -14,17 +14,18 @@ ModularityOptimization.updateModularity (:377-387: an iteration counts
 as progress only if modularity improved by more than tolerance).
 
 Spark-first local-move design (NOT the reference's shared-memory design):
-the reference serializes conflicting moves via a k1-coloring; a shuffle
-engine instead uses the SAME paper's synchronous variant — every node
-evaluates its best move against the PREVIOUS iteration's assignment in
-one join + groupBy, with the paper's two determinism/convergence rules:
-  - ties in gain break toward the SMALLER community id;
-  - the singleton-swap guard: a node in a singleton community only moves
-    to another singleton community with a smaller id (kills the classic
-    two-singleton oscillation without a coloring pass).
-Community ids are relabeled to the minimum member root-vid per level, so
-results are deterministic and partition-invariant (same contract as WCC's
-union-by-min ids).
+like the reference, conflicting moves are serialized via a k1-coloring —
+`_local_move` computes a distributed k1-coloring (bounded at 5 rounds,
+K1COLORING_MAX_ITERATIONS) and sweeps the color classes in order; within
+a color class no two movers are adjacent, so each class's best moves are
+evaluated in ONE join + groupBy against the current assignment and applied
+conflict-free (ties in gain break toward the smaller community id via the
+row_number ordering). After a full sweep over all classes, modularity is
+recomputed; a sweep that fails to improve Q reverts to the pre-sweep
+assignment, so the returned (assignment, modularity) pair is always
+consistent. Community ids are relabeled to the minimum member root-vid per
+level, so results are deterministic and partition-invariant (same contract
+as WCC's union-by-min ids).
 
 Scale notes (100 TB discipline): per iteration the big tables touched are
 edges ⋈ assignment (shuffle on dst, then groupBy (src, community) — both
@@ -143,6 +144,7 @@ def _local_move(
     eps = 1e-12
     w_node = Window.partitionBy("vid")
     for it in range(max_iterations):
+        pre_sweep = assign  # snapshot: revert target if this sweep lowers Q
         for col_id in color_list:
             movers = colors.filter(F.col("color") == col_id).select("vid")
             a_dst = assign.select(F.col("vid").alias("dst"), F.col("community").alias("c"))
@@ -235,7 +237,14 @@ def _local_move(
         # reference updateModularity:377-387: progress iff q improved by
         # more than tolerance (first iteration always counts)
         if q_prev is not None and not (q > q_prev and abs(q - q_prev) > tolerance):
-            q_prev = max(q, q_prev)
+            if q < q_prev:
+                # the sweep DEGRADED Q (possible: same-color non-adjacent
+                # nodes moving into one community score against stale
+                # totals) — revert to the pre-sweep assignment so the
+                # returned (assignment, modularity) pair is consistent
+                assign = pre_sweep
+            else:
+                q_prev = q  # kept the (marginally better) new assignment
             break
         q_prev = q
     k.unpersist()

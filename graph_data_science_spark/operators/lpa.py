@@ -202,37 +202,46 @@ def _label_propagation_block_async(
     out_schema = "vid long, label long, nw double, changed int"
 
     def block_kernel(key, node_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized replay of the reference's in-place pass: the ONLY
+        # Python-level loop is over this block's NODES (live same-block
+        # updates are inherently sequential); every per-edge operation —
+        # neighbor->slot lookup, live/snapshot label select, vote tally —
+        # is a numpy array op over the voter's edge slice.
+        import numpy as np
+
         node_pdf = node_pdf.sort_values("vid")
-        labels = dict(zip(node_pdf["vid"], node_pdf["label"]))
-        # adjacency within this block's voters: nbr label is a SNAPSHOT
-        # except same-block nbrs, which read the live dict
-        by_voter: dict = {}
-        for voter, nbr, w, nbr_label in zip(
-            edge_pdf["voter"], edge_pdf["nbr"], edge_pdf["w"], edge_pdf["nbr_label"]
-        ):
-            by_voter.setdefault(voter, []).append((nbr, w, nbr_label))
+        vids = node_pdf["vid"].to_numpy()
+        live = node_pdf["label"].to_numpy().copy()
         changed = 0
-        for vid in node_pdf["vid"]:
-            nbrs = by_voter.get(vid)
-            if not nbrs:
-                continue
-            votes: dict = {}
-            for nbr, w, snap_label in nbrs:
-                lbl = labels.get(nbr, snap_label)  # live if same-block
-                votes[lbl] = votes.get(lbl, 0.0) + w
-            cur = labels[vid]
-            best_label, best_w = cur, float("-inf")
-            for lbl, w in votes.items():
-                if w > best_w or (w == best_w and lbl < best_label):
-                    best_w, best_label = w, lbl
-            if best_label != cur:
-                labels[vid] = best_label
-                changed += 1
+        if len(edge_pdf) and len(node_pdf):
+            order = np.argsort(edge_pdf["voter"].to_numpy(), kind="stable")
+            ev = edge_pdf["voter"].to_numpy()[order]
+            ew = edge_pdf["w"].to_numpy(dtype=np.float64)[order]
+            esnap = edge_pdf["nbr_label"].to_numpy()[order]
+            en = edge_pdf["nbr"].to_numpy()[order]
+            # nbr -> position in the block's (sorted) label array
+            pos = np.minimum(np.searchsorted(vids, en), len(vids) - 1)
+            in_block = vids[pos] == en
+            starts = np.searchsorted(ev, vids, side="left")
+            ends = np.searchsorted(ev, vids, side="right")
+            for i in range(len(vids)):
+                s, e = starts[i], ends[i]
+                if s == e:
+                    continue
+                # same-block neighbors read the LIVE array (this pass's
+                # updates), cross-block neighbors the join-time snapshot
+                lbl = np.where(in_block[s:e], live[pos[s:e]], esnap[s:e])
+                u, inv = np.unique(lbl, return_inverse=True)
+                wsum = np.bincount(inv, weights=ew[s:e])
+                best = u[np.argmax(wsum)]  # u sorted -> ties to smaller label
+                if best != live[i]:
+                    live[i] = best
+                    changed += 1
         return pd.DataFrame(
             {
-                "vid": node_pdf["vid"],
-                "label": [labels[v] for v in node_pdf["vid"]],
-                "nw": node_pdf["nw"],
+                "vid": vids,
+                "label": live,
+                "nw": node_pdf["nw"].to_numpy(),
                 "changed": [changed] + [0] * (len(node_pdf) - 1),
             }
         )

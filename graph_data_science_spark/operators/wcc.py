@@ -121,12 +121,13 @@ def wcc(
         )
         max_seed = seeds.agg(F.max("seed")).collect()[0][0]
         max_seed = -1 if max_seed is None else max_seed
-        from pyspark.sql import Window
+        from graph_data_science_spark.plans.ranking import distributed_row_index
 
-        unseeded = rep.filter(F.col("comp_seed").isNull()).withColumn(
-            "new_id",
-            F.dense_rank().over(Window.orderBy("component")) + F.lit(max_seed),
-        )
+        # maxSeed + running counter (1-based), via two-phase distributed
+        # rank — component count can be O(n), no single-partition window
+        unseeded = distributed_row_index(
+            rep.filter(F.col("comp_seed").isNull()), ["component"], index_col="_idx"
+        ).withColumn("new_id", F.col("_idx") + F.lit(max_seed + 1))
         rep = rep.join(unseeded.select("component", "new_id"), "component", "left").select(
             "component", F.coalesce("comp_seed", "new_id").alias("final_id")
         )

@@ -16,10 +16,11 @@ path never mutates content (BASELINE.json input_hint).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.plans.graph import Aggregation, Graph
+from graph_data_science_spark.plans.ranking import distributed_row_index
 
 # `import foo.bar` / `from foo import x` style lines; captures module token
 IMPORT_RE = r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_\.]*)"
@@ -58,15 +59,12 @@ def extract_import_edges(
     )
 
     # dense id space ordered by (repo, path) — stable "min id" semantics for
-    # WCC union-by-min parity (IdMap.java:34-44 dense mapped ids)
-    win = Window.orderBy("repo", "path")
-    vertices = files.withColumn("vid", F.row_number().over(win) - 1).select(
+    # WCC union-by-min parity (IdMap.java:34-44 dense mapped ids). Two-phase
+    # distributed rank (plans/ranking.py): range-repartition + per-partition
+    # offsets, no single-partition sort even at 10^12 files.
+    vertices = distributed_row_index(files, ["repo", "path"], index_col="vid").select(
         "vid", "repo", "path", "module", "content_sha256", "imports"
     )
-    # NOTE: the global-window row_number is fine for the id map because it
-    # runs ONCE at projection; at 10^12-file scale swap for
-    # zipWithIndex-style per-partition offsets (monotonically_increasing_id
-    # + per-partition rank), which needs no global sort.
 
     module_ids = vertices.select(F.col("module").alias("imp"), F.col("vid").alias("dst"))
     edges = (
