@@ -330,6 +330,24 @@ def _q_louvain(spark, sf_dir):
     return res.communities.select("vid", "community")
 
 
+def _q_leiden(spark, sf_dir):
+    """Leiden on the same clique-ring as graph_louvain: cliques of 12 per
+    nationkey, single bridges between consecutive min custkeys. Leiden
+    provably recovers the cliques; community ids are normalized to the
+    min member vid so the oracle is the same closed form as louvain's."""
+    from graph_data_science_spark.operators.leiden import leiden
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _clique_ring_edges(spark, sf_dir), orientation=Orientation.UNDIRECTED
+    )
+    res = leiden(g, random_seed=19)
+    norm = res.communities.groupBy("community").agg(F.min("vid").alias("c2"))
+    return res.communities.join(norm, "community").select(
+        "vid", F.col("c2").alias("community")
+    )
+
+
 def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-level directed tree: region -> nation -> (8 customers) ->
     (3 orders each), with offsets keeping the id spaces disjoint.
@@ -389,7 +407,9 @@ def _q_betweenness_tree(spark, sf_dir):
     from graph_data_science_spark.operators.betweenness import betweenness
 
     g = Graph.from_edges(_tree_edges(spark, sf_dir))
-    res = betweenness(g, batch_size=96)
+    # wide batches on this shallow (depth~3) tree: 829 sources in 2 BSP
+    # passes instead of 9 — exact mode's cost is driver job count, not data
+    res = betweenness(g, batch_size=512)
     return res.scores.select("vid", F.round("score", 4).alias("score"))
 
 
@@ -406,6 +426,13 @@ def _q_sssp_paths(spark, sf_dir):
     src = edges.agg(F.min("src")).collect()[0][0]
     g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
     res = dijkstra(g, source=int(src), max_iterations=SSSP_UNROLLED, stats_interval=5)
+    # loud failure instead of silent row-set divergence vs the oracle: if
+    # SSSP_UNROLLED rounds ever stop sufficing (data/SF change), walks would
+    # end at a null parent mid-chain while the oracle's `w.cur = b.sid`
+    # filter silently drops them
+    assert res.did_converge, (
+        f"sssp did not converge in {SSSP_UNROLLED} rounds - raise SSSP_UNROLLED"
+    )
     return res.paths.select(
         "source_node", "target_node",
         F.round("total_cost", 4).alias("total_cost"),
@@ -445,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_modularity,
         "graph_conductance": _q_conductance,
         "graph_louvain": _q_louvain,
+        "graph_leiden": _q_leiden,
         "graph_betweenness_tree": _q_betweenness_tree,
         "graph_sssp_paths": _q_sssp_paths,
     }
@@ -911,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "multimodal_features": _MULTIMODAL_ORACLE_SQL,
         "graph_louvain": louvain_oracle,
+        "graph_leiden": louvain_oracle,
         "graph_betweenness_tree": betweenness_tree_oracle,
         "graph_sssp_paths": _sssp_paths_oracle_sql(),
         "graph_modularity": f"""

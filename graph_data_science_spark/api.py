@@ -138,6 +138,17 @@ class Algo:
                       "didConverge": r.did_converge},
                      self.catalog, self.graph.name)
 
+    def leiden(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.leiden import leiden as _leiden
+
+        r = _leiden(self.graph, **kw)
+        n_comm = r.communities.select("community").distinct().count()
+        return _mode(r.communities, "community",
+                     {"communityCount": n_comm, "ranLevels": r.ran_levels,
+                      "modularities": r.modularities, "modularity": r.modularity,
+                      "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
     def k1_coloring(self, **kw) -> ModeResult:
         from graph_data_science_spark.operators.k1coloring import k1_coloring as _k1
 
@@ -219,7 +230,7 @@ class Algo:
         from graph_data_science_spark.operators.betweenness import betweenness as _bc
 
         r = _bc(self.graph, **kw)
-        return _mode(r.scores, "score", {"sources": len(r.sources)},
+        return _mode(r.scores, "score", {"sources": r.source_count},
                      self.catalog, self.graph.name)
 
     def harmonic(self, **kw) -> ModeResult:
