@@ -253,3 +253,116 @@ def sample_rwr(
     from dataclasses import replace
 
     return replace(graph, nodes=kept_nodes, edges=kept_edges, name=f"{graph.name or 'g'}_rwr")
+
+
+def biased_random_walks(
+    graph: Graph,
+    walks_per_node: int = 10,
+    walk_length: int = 80,
+    return_factor: float = 1.0,
+    in_out_factor: float = 1.0,
+    seed: int = 42,
+    start_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """node2vec second-order biased walks (reference
+    algo/.../traversal/RandomWalk.java + Node2VecRandomWalkTask.java:
+    unnormalized transition weight from (prev -> cur) to next is
+    w(cur,next) * alpha, alpha = 1/returnFactor if next == prev, 1 if
+    next adjacent to prev, 1/inOutFactor otherwise — Grover & Leskovec,
+    node2vec, KDD 2016). Returns (walk_id, start, path array<long>).
+
+    Spark-first: the whole transition — bias computation, cumulative
+    roulette pick against a deterministic hash — runs inside ARRAY
+    expressions on the cached adjacency struct (no explode, no window);
+    one join per step. The previous node's neighbor-id array is carried
+    forward from the previous step's join, so adjacency is joined
+    exactly once per step."""
+    adj = (
+        graph.edges.groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dst").alias("dst"), F.col("weight").alias("w")))
+            ).alias("nbrs_w")
+        )
+        .withColumn("nbr_ids", F.transform("nbrs_w", lambda x: x["dst"]))
+        .persist()
+    )
+    starts = (start_nodes or graph.nodes).select("vid")
+    state = starts.select(
+        F.col("vid").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("wk"),
+    ).select(
+        F.concat_ws("_", F.col("start"), F.col("wk")).alias("walk_id"),
+        "start",
+        F.lit(None).cast("long").alias("prev"),
+        F.col("start").alias("cur"),
+        F.lit(None).cast("array<long>").alias("prev_nbr_ids"),
+        F.array(F.col("start")).alias("path"),
+        F.lit(False).alias("stopped"),
+    ).persist()
+    inv_p = 1.0 / return_factor
+    inv_q = 1.0 / in_out_factor
+    for step in range(walk_length):
+        nbr = adj.select(F.col("vid").alias("cur"), "nbrs_w", "nbr_ids")
+        joined = state.join(nbr, "cur", "left")
+        # alpha per candidate (first step: prev is null -> alpha = 1)
+        biased = F.transform(
+            "nbrs_w",
+            lambda x: F.struct(
+                x["dst"].alias("dst"),
+                (
+                    x["w"]
+                    * F.when(F.col("prev").isNull(), F.lit(1.0))
+                    .when(x["dst"] == F.col("prev"), F.lit(inv_p))
+                    .when(
+                        F.array_contains(F.col("prev_nbr_ids"), x["dst"]),
+                        F.lit(1.0),
+                    )
+                    .otherwise(F.lit(inv_q))
+                ).alias("wt"),
+            ),
+        )
+        joined = joined.withColumn("biased", biased).withColumn(
+            "total_wt", F.aggregate("biased", F.lit(0.0), lambda a, x: a + x["wt"])
+        )
+        r = (
+            F.pmod(F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))),
+                   F.lit(1 << 30)).cast("double")
+            / F.lit(float(1 << 30))
+            * F.col("total_wt")
+        )
+        picked = F.aggregate(
+            "biased",
+            F.struct(r.alias("rem"), F.lit(None).cast("long").alias("pick")),
+            lambda acc, x: F.when(acc["pick"].isNotNull(), acc)
+            .when(
+                acc["rem"] < x["wt"],
+                F.struct(acc["rem"].alias("rem"), x["dst"].alias("pick")),
+            )
+            .otherwise(
+                F.struct((acc["rem"] - x["wt"]).alias("rem"),
+                         F.lit(None).cast("long").alias("pick"))
+            ),
+        )["pick"]
+        nxt = F.when(
+            ~F.col("stopped") & (F.col("total_wt") > 0), picked
+        )
+        new_state = joined.select(
+            "walk_id",
+            "start",
+            F.when(nxt.isNotNull(), F.col("cur")).otherwise(F.col("prev")).alias("prev"),
+            F.coalesce(nxt, F.col("cur")).alias("cur"),
+            F.when(nxt.isNotNull(), F.col("nbr_ids"))
+            .otherwise(F.col("prev_nbr_ids"))
+            .alias("prev_nbr_ids"),
+            F.when(nxt.isNotNull(), F.concat(F.col("path"), F.array(nxt)))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            (F.col("stopped") | nxt.isNull()).alias("stopped"),
+        ).persist()
+        new_state.count()
+        state.unpersist()
+        state = new_state
+    out = state.select("walk_id", "start", "path")
+    adj.unpersist()
+    return out
