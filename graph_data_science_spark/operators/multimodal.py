@@ -50,11 +50,67 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real-codec entry point — unavailable in this container."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/libjpeg) not present "
-        "in this environment; use fake_features for the plumbing path"
+    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 array —
+    pure Python/numpy, no codec library. BMP is the one raster format
+    whose spec needs nothing beyond header math (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding); compressed formats (JPEG/PNG)
+    still need an external codec and raise ValueError with a clear
+    message instead of silently guessing."""
+    if payload is None or len(payload) < 54:
+        raise ValueError("not a BMP: payload shorter than the 54-byte header")
+    if payload[:2] != b"BM":
+        head = bytes(payload[:4])
+        raise ValueError(
+            f"unsupported image format (magic {head!r}): only uncompressed "
+            "BMP decodes without a codec library; JPEG/PNG need PIL/libjpeg"
+        )
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_px = bpp // 8
+    row_stride = (width * bytes_px + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + row_stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(payload)}")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                        offset=data_offset)
+    rows = raw.reshape(height, row_stride)[:, : width * bytes_px]
+    img = rows.reshape(height, width, bytes_px)
+    if bottom_up:
+        img = img[::-1]
+    # BMP stores BGR(A); return RGB
+    return np.ascontiguousarray(img[:, :, 2::-1])
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """Inverse of decode_image for tests/synthesis: (H, W, 3) uint8 RGB
+    -> 24-bit bottom-up BMP bytes."""
+    h, w, _ = img.shape
+    row_stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    size = 54 + len(data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
     )
+    return header + data
 
 
 def _fake_feature_vector(payload: bytes, dim: int) -> np.ndarray:

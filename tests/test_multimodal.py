@@ -16,9 +16,11 @@ def test_media_schema(spark):
     assert all(r["width"] > 0 and r["duration_ms"] > 0 for r in meta)
 
 
-def test_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_decode_rejects_compressed_formats():
+    """decode_image is a real BMP decoder now; compressed formats still
+    raise a clear ValueError (no codec library in this container)."""
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\x89PNG" + b"0" * 60)
 
 
 def test_extract_features_deterministic(spark):
@@ -45,3 +47,52 @@ def test_frame_sample_counts(spark):
     assert set(counts) == set(metas)
     for mid, dur in metas.items():
         assert counts[mid] == dur // 10000 + 1
+
+
+def test_decode_image_bmp_in_spark(spark):
+    """decode_image is a real decoder now (24-bit BMP): generate BMPs,
+    decode inside mapInPandas, assert dimensions and pixel content."""
+    import numpy as np
+    import pandas as pd
+
+    from graph_data_science_spark.operators.multimodal import decode_image, encode_bmp
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for mid in range(6):
+        h, w = int(rng.integers(2, 12)), int(rng.integers(2, 12))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((mid, h, w, int(img.sum()), bytearray(encode_bmp(img))))
+    df = spark.createDataFrame(
+        rows, "media_id long, h int, w int, pixel_sum long, payload binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            imgs = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dh": [i.shape[0] for i in imgs],
+                    "dw": [i.shape[1] for i in imgs],
+                    "dsum": [int(i.sum()) for i in imgs],
+                }
+            )
+
+    got = {
+        r["media_id"]: (r["dh"], r["dw"], r["dsum"])
+        for r in df.mapInPandas(decode, "media_id long, dh int, dw int, dsum long").collect()
+    }
+    want = {mid: (h, w, s) for mid, h, w, s, _ in rows}
+    assert got == want
+
+
+def test_decode_image_rejects_non_bmp(spark):
+    import pytest
+
+    from graph_data_science_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 64)  # JPEG magic
+    with pytest.raises(ValueError, match="shorter than"):
+        decode_image(b"BM")

@@ -32,10 +32,14 @@ def build_spark(spec: str):
         from pyspark.sql import SparkSession
 
         exec_mem_mb = int(os.environ.get("EXEC_MEM_MB", "12288"))
-        spark = (
+        # knobs for scaling experiments: SHUFFLE_PARTS overrides the
+        # partition count (default = total cores); EXTRA_CONF is a
+        # comma-separated k=v list applied verbatim
+        shuffle_parts = int(os.environ.get("SHUFFLE_PARTS", str(total)))
+        builder = (
             SparkSession.builder.master(f"local-cluster[{n_exec},{per},{exec_mem_mb}]")
             .appName(f"scaling-{spec}")
-            .config("spark.sql.shuffle.partitions", str(total))
+            .config("spark.sql.shuffle.partitions", str(shuffle_parts))
             .config("spark.default.parallelism", str(total))
             .config("spark.driver.memory", "8g")
             .config("spark.executor.memory", f"{exec_mem_mb}m")
@@ -44,8 +48,12 @@ def build_spark(spec: str):
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.ui.enabled", "false")
             .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-            .getOrCreate()
         )
+        for kv in os.environ.get("EXTRA_CONF", "").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                builder = builder.config(k.strip(), v.strip())
+        spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         return spark, total
     cores = int(spec)
@@ -75,6 +83,7 @@ def main():
     steady_wall = sum(walls[1:]) if len(walls) > 1 else wall
     steady_ss = supersteps - STATS_INTERVAL if len(walls) > 1 else supersteps
     print("RESULT " + json.dumps({
+        "tag": os.environ.get("TAG", ""),
         "cores": cores, "spec": spec, "backend": backend,
         "wall_sec": round(wall, 2), "edges": m, "supersteps": supersteps,
         "throughput": round(m * supersteps / wall, 1),
