@@ -440,6 +440,113 @@ def _q_sssp_paths(spark, sf_dir):
     )
 
 
+def _q_bellman(spark, sf_dir):
+    """Bellman-Ford distances over the same UNDIRECTED weighted graph as
+    graph_sssp_paths (non-negative weights -> identical distances; the
+    oracle is the unrolled relaxation chain). Distances only: parent
+    tie-breaks are relaxation-order artifacts in both engines, so the
+    tree is pytest-verified (tests/test_astar_bellman.py), values here."""
+    from graph_data_science_spark.operators.bellmanford import bellman_ford
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _cs_edges_small(spark, sf_dir)
+    src = edges.agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    res = bellman_ford(g, source=int(src), max_iterations=SSSP_UNROLLED,
+                       stats_interval=5)
+    assert not res.contains_negative_cycle
+    assert res.did_converge, "bellman did not converge - raise SSSP_UNROLLED"
+    return res.distances.filter(F.col("distance") < float("inf")).select(
+        "vid", F.round("distance", 4).alias("distance")
+    )
+
+
+ASTAR_UNROLLED = 36  # BF convergence = 32 rounds (measured offline); oracle mirrors
+
+
+def _geo_edges(spark, sf_dir):
+    """Deterministic geo graph: customers with custkey < 200 get synthetic
+    (lat, lon); edges = ring (k -> k+1) + chords (k -> k+13), weight =
+    round(haversine_nm * 1.02) + 1 (INTEGRAL doubles -> float-exact sums;
+    >= haversine, so the straight-line heuristic stays admissible)."""
+    from graph_data_science_spark.operators.astar import haversine_nm
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    nodes = cust.select(
+        F.col("c_custkey").alias("vid"),
+        (F.col("c_custkey") % 179 - 89 + 0.5).cast("double").alias("latitude"),
+        ((F.col("c_custkey") * 7) % 359 - 179 + 0.5).cast("double").alias("longitude"),
+    )
+    a = nodes.select(F.col("vid").alias("src"), F.col("latitude").alias("la"),
+                     F.col("longitude").alias("lo"))
+    b = nodes.select(F.col("vid").alias("dst"), F.col("latitude").alias("lb"),
+                     F.col("longitude").alias("lb2"))
+    # two equi-joins (dst = src + k), not a cartesian-with-filter
+    pairs = a.join(b, F.col("dst") == F.col("src") + 1).unionByName(
+        a.join(b, F.col("dst") == F.col("src") + 13)
+    )
+    edges = pairs.select(
+        "src", "dst",
+        (F.round(haversine_nm(F.col("la"), F.col("lo"), F.col("lb"), F.col("lb2"))
+                 * 1.02, 0) + 1.0).alias("weight"),
+    )
+    return nodes, edges
+
+
+def _q_astar(spark, sf_dir):
+    """A* from custkey 1 to 199 over the synthetic geo graph; emits the
+    single (source, target, cost) row. The full path fixture is
+    pytest-verified (parent ties are order artifacts); the COST is
+    engine-portable and the oracle recomputes it by unrolled relaxation."""
+    from graph_data_science_spark.operators.astar import astar
+    from graph_data_science_spark.plans.graph import Orientation
+
+    nodes, edges = _geo_edges(spark, sf_dir)
+    g = Graph.from_edges(edges, nodes=nodes, orientation=Orientation.UNDIRECTED)
+    res = astar(g, source=1, target=199, max_iterations=ASTAR_UNROLLED,
+                stats_interval=6)
+    assert res.did_converge, "astar did not converge - raise ASTAR_UNROLLED"
+    return res.paths.select(
+        "source_node", "target_node", F.round("total_cost", 4).alias("total_cost")
+    )
+
+
+def _q_steiner(spark, sf_dir):
+    """steinerTree on the directed 4-level tree (unique paths -> the
+    greedy result is the exact Steiner tree and fully deterministic).
+    Rows-only in the driver (greedy trees are not SQL-expressible);
+    fixture parity in tests/test_steiner_celf.py."""
+    from graph_data_science_spark.operators.steiner import steiner_tree
+
+    edges = _tree_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    g = Graph.from_edges(edges)
+    # root = the smallest REGION node; terminals = the 5 smallest order
+    # leaves actually under it (min(src) would be a raw customer key,
+    # whose descendants don't include the global-min orders)
+    root = edges.filter(F.col("src") >= 1_000_000).agg(F.min("src")).collect()[0][0]
+    lvl1 = edges.filter(F.col("src") == root).select(F.col("dst").alias("n"))
+    lvl2 = edges.join(lvl1, edges["src"] == lvl1["n"]).select(F.col("dst").alias("c"))
+    lvl3 = edges.join(lvl2, edges["src"] == lvl2["c"]).select("dst")
+    terminals = [r["dst"] for r in lvl3.orderBy("dst").limit(5).collect()]
+    res = steiner_tree(g, source=int(root), terminals=terminals)
+    return res.parents.filter(F.col("parent") != -2).select(
+        "vid", "parent", F.round("parent_cost", 4).alias("parent_cost")
+    )
+
+
+def _q_celf(spark, sf_dir):
+    """CELF seeds over the customer->supplier graph (deterministic
+    hash-seeded RR sampling). Rows-only: the RIS estimator is not
+    SQL-expressible; determinism + hub-dominance in pytest."""
+    from graph_data_science_spark.operators.influence import celf
+
+    edges = _cs_edges_small(spark, sf_dir)
+    g = Graph.from_edges(edges)
+    res = celf(g, seed_set_size=5, propagation_probability=0.2,
+               monte_carlo_simulations=10, rr_per_simulation=20, random_seed=7)
+    return res.seeds.select("rank", "vid", F.round("spread", 2).alias("spread"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = mm.synthesize_media(spark, n=64)
     return mm.extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
@@ -474,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain": _q_louvain,
         "graph_leiden": _q_leiden,
         "graph_betweenness_tree": _q_betweenness_tree,
+        "graph_bellman": _q_bellman,
+        "graph_astar": _q_astar,
+        "graph_steiner": _q_steiner,
+        "graph_celf": _q_celf,
         "graph_sssp_paths": _q_sssp_paths,
     }
 
@@ -691,6 +802,111 @@ def _ngram_oracle_sql() -> str:
     """
 
 
+def _relax_ctes(K: int) -> list:
+    """d1..dK unrolled min-relaxation CTEs over tables `eu` (directed
+    edge rows src,dst,weight) and `nodes`, starting from `d0`."""
+    out = []
+    for k in range(1, K + 1):
+        p = k - 1
+        out.append(
+            f"d{k} AS MATERIALIZED (SELECT n.vid, LEAST(dp.d, COALESCE(r.cand, 1e18)) AS d "
+            f"FROM nodes n JOIN d{p} dp ON dp.vid = n.vid LEFT JOIN ("
+            f"SELECT eu.dst AS vid, MIN(dd.d + eu.weight) AS cand "
+            f"FROM eu JOIN d{p} dd ON dd.vid = eu.src GROUP BY eu.dst) r "
+            f"ON r.vid = n.vid)"
+        )
+    return out
+
+
+def _bellman_dist_oracle_sql() -> str:
+    """Same relaxation chain as the sssp oracle; distances only (the
+    parent tree is order-dependent in both engines — pytest-verified)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT src, dst, weight FROM e "
+        "UNION ALL SELECT dst, src, weight FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "s AS MATERIALIZED (SELECT MIN(src) AS sid FROM e)",
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT sid FROM s) "
+        "THEN 0.0 ELSE 1e18 END AS d FROM nodes)",
+    ] + _relax_ctes(SSSP_UNROLLED)
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, ROUND(d, 4)::DOUBLE AS distance FROM d{SSSP_UNROLLED} "
+        f"WHERE d < 1e17"
+    )
+
+
+_GEO_HAV = (
+    "2 * 6371 * 0.539957 * asin(sqrt("
+    "pow(sin(radians(b.lat - a.lat) / 2), 2) + "
+    "pow(sin(radians(b.lon - a.lon) / 2), 2) * cos(radians(a.lat)) * cos(radians(b.lat))))"
+)
+
+
+def _astar_oracle_sql() -> str:
+    """Geo ring+chord graph (mirrors _geo_edges exactly, including the
+    round(haversine*1.02)+1 integral weights), unrolled relaxation from
+    vid 1, single target row 199."""
+    ctes = [
+        "cust AS MATERIALIZED (SELECT c_custkey AS vid, "
+        "((c_custkey % 179) - 89 + 0.5)::DOUBLE AS lat, "
+        "(((c_custkey * 7) % 359) - 179 + 0.5)::DOUBLE AS lon "
+        "FROM customer WHERE c_custkey < 200)",
+        f"e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, "
+        f"ROUND({_GEO_HAV} * 1.02, 0) + 1 AS weight "
+        f"FROM cust a JOIN cust b ON b.vid = a.vid + 1 OR b.vid = a.vid + 13)",
+        "eu AS MATERIALIZED (SELECT src, dst, weight FROM e "
+        "UNION ALL SELECT dst, src, weight FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = 1 "
+        "THEN 0.0 ELSE 1e18 END AS d FROM nodes)",
+    ] + _relax_ctes(ASTAR_UNROLLED)
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT 1 AS source_node, 199 AS target_node, "
+        f"ROUND(d, 4)::DOUBLE AS total_cost FROM d{ASTAR_UNROLLED} WHERE vid = 199"
+    )
+
+
+def _steiner_oracle_sql() -> str:
+    """On a tree with unit weights the shortest-path Steiner tree is
+    exactly the union of root->terminal ancestor chains, so the greedy
+    result is SQL-expressible: parent map from the tree edges, the same
+    5-terminal selection as _q_steiner, recursive ancestor closure."""
+    inner = f"""
+        {_TREE_SQL},
+        root AS (SELECT MIN(src) AS r FROM te WHERE src >= 1000000),
+        l1 AS (SELECT dst AS n FROM te WHERE src = (SELECT r FROM root)),
+        l2 AS (SELECT te.dst AS c FROM te JOIN l1 ON te.src = l1.n),
+        l3 AS (SELECT te.dst AS o FROM te JOIN l2 ON te.src = l2.c),
+        term AS (SELECT o FROM l3 ORDER BY o LIMIT 5),
+        allrows AS (
+            -- top level of this nested WITH must be a plain SELECT:
+            -- DuckDB loses the nested CTE scope on a top-level UNION ALL
+            -- inside a WITH RECURSIVE host query
+            SELECT te.dst AS vid, te.src AS parent,
+                   (te.dst IN (SELECT o FROM term)) AS is_term
+            FROM te
+            UNION ALL
+            SELECT r, NULL, FALSE FROM root
+        )
+        SELECT vid, parent, is_term FROM allrows
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    walk(vid) AS (
+        SELECT vid FROM base WHERE is_term
+        UNION
+        SELECT b.parent FROM walk w JOIN base b
+        ON b.vid = w.vid AND b.parent IS NOT NULL
+    )
+    SELECT b.vid, COALESCE(b.parent, -1) AS parent,
+           (CASE WHEN b.parent IS NULL THEN 0.0 ELSE 1.0 END)::DOUBLE AS parent_cost
+    FROM base b JOIN (SELECT DISTINCT vid FROM walk) w ON w.vid = b.vid
+    """
+
+
 def _sssp_paths_oracle_sql() -> str:
     """Unrolled min-relaxation (SSSP_UNROLLED rounds) + deterministic
     parent tree (min optimal predecessor) + recursive parent walk."""
@@ -705,15 +921,7 @@ def _sssp_paths_oracle_sql() -> str:
     ]
     # every CTE the recursive walk references must be MATERIALIZED, or
     # DuckDB re-inlines the whole chain per recursion step
-    for k in range(1, SSSP_UNROLLED + 1):
-        p = k - 1
-        ctes.append(
-            f"d{k} AS MATERIALIZED (SELECT n.vid, LEAST(dp.d, COALESCE(r.cand, 1e18)) AS d "
-            f"FROM nodes n JOIN d{p} dp ON dp.vid = n.vid LEFT JOIN ("
-            f"SELECT eu.dst AS vid, MIN(dd.d + eu.weight) AS cand "
-            f"FROM eu JOIN d{p} dd ON dd.vid = eu.src GROUP BY eu.dst) r "
-            f"ON r.vid = n.vid)"
-        )
+    ctes.extend(_relax_ctes(SSSP_UNROLLED))
     K = SSSP_UNROLLED
     # NB: DuckDB 1.0 pathologically re-plans non-recursive CTEs that live
     # inside a WITH RECURSIVE clause (measured: the 0.3 s distance chain
@@ -942,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_leiden": louvain_oracle,
         "graph_betweenness_tree": betweenness_tree_oracle,
         "graph_sssp_paths": _sssp_paths_oracle_sql(),
+        "graph_bellman": _bellman_dist_oracle_sql(),
+        "graph_astar": _astar_oracle_sql(),
+        "graph_steiner": _steiner_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

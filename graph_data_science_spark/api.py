@@ -292,6 +292,49 @@ class Algo:
         df = _yens(self.graph, source, target, k=k, **kw)
         return _mode(df, "total_cost", {"k": k}, self.catalog, self.graph.name)
 
+    def shortest_path_astar(self, source, target, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.astar import astar as _astar
+
+        r = _astar(self.graph, source, target, **kw)
+        return _mode(r.paths, "total_cost",
+                     {"ranIterations": r.ran_iterations, "didConverge": r.did_converge},
+                     self.catalog, self.graph.name)
+
+    def bellman_ford(self, source, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.bellmanford import bellman_ford as _bf
+
+        r = _bf(self.graph, source, **kw)
+        return _mode(r.paths, "total_cost",
+                     {"ranIterations": r.ran_iterations,
+                      "didConverge": r.did_converge,
+                      "containsNegativeCycle": r.contains_negative_cycle},
+                     self.catalog, self.graph.name)
+
+    def steiner_tree(self, source, terminals, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.steiner import steiner_tree as _st
+
+        r = _st(self.graph, source, terminals, **kw)
+        return _mode(r.parents, "parent_cost",
+                     {"totalWeight": r.total_cost,
+                      "effectiveNodeCount": r.effective_node_count,
+                      "effectiveTargetNodesCount": r.terminals_reached},
+                     self.catalog, self.graph.name)
+
+    def influence_maximization_celf(self, seed_set_size, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.influence import celf as _celf
+
+        r = _celf(self.graph, seed_set_size, **kw)
+        return _mode(r.seeds, "spread", {"rrSets": r.rr_sets},
+                     self.catalog, self.graph.name)
+
+    def node2vec(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.node2vec import node2vec as _n2v
+
+        r = _n2v(self.graph, **kw)
+        return _mode(r.embeddings, "embedding",
+                     {"lossPerIteration": r.loss_per_iteration},
+                     self.catalog, self.graph.name)
+
     def node_similarity(self, **kw) -> ModeResult:
         df = _similarity.node_similarity(self.graph, **kw)
         return _mode(df, "similarity", {}, self.catalog, self.graph.name)
