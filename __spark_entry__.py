@@ -407,9 +407,10 @@ def _q_betweenness_tree(spark, sf_dir):
     from graph_data_science_spark.operators.betweenness import betweenness
 
     g = Graph.from_edges(_tree_edges(spark, sf_dir))
-    # wide batches on this shallow (depth~3) tree: 829 sources in 2 BSP
-    # passes instead of 9 — exact mode's cost is driver job count, not data
-    res = betweenness(g, batch_size=512)
+    # one batch covering all ~830 sources: exact mode's cost on this
+    # shallow (depth-3) tree is driver job count, not data; with the
+    # O(1)-size plan expressions in _forward the batch width is free
+    res = betweenness(g, batch_size=1024)
     return res.scores.select("vid", F.round("score", 4).alias("score"))
 
 

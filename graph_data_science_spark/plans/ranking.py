@@ -41,8 +41,16 @@ def distributed_row_index(
     cols = list(order_cols)
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    # checkpoint the INPUT first: repartitionByRange's boundary-sampling
+    # job and the post-shuffle checkpoint below are two separate actions,
+    # and without this the full upstream lineage (often an iterative BSP
+    # result) is recomputed for each — measured 2x on dijkstra paths
+    src = df.localCheckpoint(eager=True)
+    # the post-shuffle checkpoint freezes the range-partition assignment:
+    # RangePartitioning re-samples per action, so __pid would otherwise
+    # not be stable between the counts action and the final plan
     ranged = (
-        df.repartitionByRange(p, *[F.col(c) for c in cols])
+        src.repartitionByRange(p, *[F.col(c) for c in cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
