@@ -548,6 +548,152 @@ def _q_celf(spark, sf_dir):
     return res.seeds.select("rank", "vid", F.round("spread", 2).alias("spread"))
 
 
+_HGNN_N = 200          # nodes: vec_id < 200 from embeddings.parquet
+_HGNN_BITS = 16        # binary feature dimension
+_HGNN_K = 4            # embedding_density (hash rounds per iteration)
+_HGNN_ITERS = 2
+_HGNN_SEED = 42
+_HGNN_PLANE_TABLE = 9  # plane_signs table id (disjoint from the LSH queries)
+
+
+def _hgnn_feature_bits_spark(vec_col):
+    """bit f set iff <embedding, plane_signs(f)> >= 0 — the same
+    engine-portable ±1-hyperplane family the LSH oracles already use."""
+    from graph_data_science_spark.operators.ann import plane_signs
+
+    slots = []
+    for f in range(_HGNN_BITS):
+        plane = F.array(*[F.lit(s) for s in plane_signs(f, EMB_DIM, _HGNN_PLANE_TABLE)])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        slots.append(F.when(dot >= 0, F.lit(f)).otherwise(F.lit(None)).cast("int"))
+    return F.filter(F.array(*slots), lambda x: x.isNotNull())
+
+
+def _q_hashgnn(spark, sf_dir):
+    """HashGNN binary embeddings over a deterministic 2-out ring graph on
+    embeddings.parquet vec_ids (< 200): v -> (v+1) % 200, v -> (v+7) % 200.
+    Input bits = hyperplane signs of the stored vectors; 2 iterations x 4
+    min-hash rounds. Output exploded to (vid, bit) rows — engine-portable
+    because the hash triples are driver-derived integers inlined into the
+    DuckDB oracle (the simhash/LSH oracle pattern)."""
+    from graph_data_science_spark.operators.hashgnn import hashgnn
+
+    vecs = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _HGNN_N)
+    feats = vecs.select(
+        F.col("vec_id").alias("vid"),
+        _hgnn_feature_bits_spark(F.col("embedding")).alias("bits"),
+    )
+    ids = vecs.select(F.col("vec_id").alias("vid"))
+    edges = ids.select(
+        F.col("vid").alias("src"), ((F.col("vid") + 1) % _HGNN_N).alias("dst")
+    ).unionByName(
+        ids.select(F.col("vid").alias("src"), ((F.col("vid") + 7) % _HGNN_N).alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    g = Graph.from_edges(edges)
+    res = hashgnn(
+        g, iterations=_HGNN_ITERS, embedding_density=_HGNN_K,
+        neighbor_influence=1.0, feature_df=feats, seed=_HGNN_SEED,
+    )
+    return (
+        res.embeddings.select(
+            "vid", F.posexplode("embedding").alias("bit", "val")
+        )
+        .filter(F.col("val") == 1.0)
+        .select("vid", F.col("bit").cast("int").alias("bit"))
+    )
+
+
+def _hashgnn_oracle_sql() -> str:
+    """DuckDB mirror of _q_hashgnn: identical ±1 hyperplanes for the input
+    bits and identical integer hash triples (same seeded numpy generator as
+    operators/hashgnn._triples), unrolled for 2 iterations. Ties break on
+    (hash, bit) in both engines (Spark: array_min/min on struct(h, bit);
+    here: row_number ordered by h, bit)."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.ann import plane_signs
+    from graph_data_science_spark.operators.hashgnn import _triples
+
+    bit_selects = []
+    for f in range(_HGNN_BITS):
+        arr = "[" + ",".join(
+            f"{s:.1f}" for s in plane_signs(f, EMB_DIM, _HGNN_PLANE_TABLE)
+        ) + "]"
+        bit_selects.append(
+            f"SELECT vec_id AS vid, {f} AS bit FROM embeddings "
+            f"WHERE vec_id < {_HGNN_N} AND list_dot_product(embedding, {arr}) >= 0"
+        )
+    emb0 = " UNION ALL ".join(bit_selects)
+
+    ctes = [
+        f"nodes AS (SELECT vec_id AS vid FROM embeddings WHERE vec_id < {_HGNN_N})",
+        f"""edges AS (
+            SELECT vid AS src, (vid + 1) % {_HGNN_N} AS dst FROM nodes
+            UNION ALL SELECT vid, (vid + 7) % {_HGNN_N} FROM nodes
+        )""",
+        f"emb0 AS MATERIALIZED ({emb0})",
+    ]
+    for it in range(_HGNN_ITERS):
+        ts = _triples(
+            np.random.default_rng((_HGNN_SEED, it)), _HGNN_K, 1.0
+        )
+        rows = ", ".join(
+            f"({k}, {t[0]}, {t[1]}, {t[2]}, {t[3]}, {t[4]}, {t[5]}, {t[6]}, {t[7]}, {t[8]})"
+            for k, t in enumerate(ts)
+        )
+        ctes.append(
+            f"t{it}(k, na, nb, nc, sa, sb, sc, pa, pb, pc) AS (VALUES {rows})"
+        )
+        ctes.append(f"""selfr{it} AS (
+            SELECT e.vid, t.k, e.bit,
+                   (CAST(e.bit AS BIGINT) * t.sa + t.sb) % t.sc AS h,
+                   row_number() OVER (
+                       PARTITION BY e.vid, t.k
+                       ORDER BY (CAST(e.bit AS BIGINT) * t.sa + t.sb) % t.sc, e.bit
+                   ) AS rn
+            FROM emb{it} e CROSS JOIN t{it} t
+        )""")
+        ctes.append(f"""prer{it} AS (
+            SELECT e.vid, t.k, e.bit,
+                   row_number() OVER (
+                       PARTITION BY e.vid, t.k
+                       ORDER BY (CAST(e.bit AS BIGINT) * t.pa + t.pb) % t.pc, e.bit
+                   ) AS rn
+            FROM emb{it} e CROSS JOIN t{it} t
+        )""")
+        ctes.append(f"""nbrr{it} AS (
+            SELECT ed.src AS vid, p.k, p.bit,
+                   (CAST(p.bit AS BIGINT) * t.na + t.nb) % t.nc AS h,
+                   row_number() OVER (
+                       PARTITION BY ed.src, p.k
+                       ORDER BY (CAST(p.bit AS BIGINT) * t.na + t.nb) % t.nc, p.bit
+                   ) AS rn
+            FROM edges ed
+            JOIN (SELECT vid, k, bit FROM prer{it} WHERE rn = 1) p ON p.vid = ed.dst
+            JOIN t{it} t ON t.k = p.k
+        )""")
+        ctes.append(f"""emb{it + 1} AS MATERIALIZED (
+            SELECT DISTINCT g.vid,
+                   CASE WHEN nm.h IS NOT NULL AND (sm.h IS NULL OR nm.h < sm.h)
+                        THEN nm.bit ELSE sm.bit END AS bit
+            FROM (SELECT n.vid, t.k FROM nodes n CROSS JOIN t{it} t) g
+            LEFT JOIN (SELECT vid, k, bit, h FROM selfr{it} WHERE rn = 1) sm
+                   ON sm.vid = g.vid AND sm.k = g.k
+            LEFT JOIN (SELECT vid, k, bit, h FROM nbrr{it} WHERE rn = 1) nm
+                   ON nm.vid = g.vid AND nm.k = g.k
+            WHERE CASE WHEN nm.h IS NOT NULL AND (sm.h IS NULL OR nm.h < sm.h)
+                       THEN nm.bit ELSE sm.bit END IS NOT NULL
+        )""")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vid, bit::INTEGER AS bit FROM emb{_HGNN_ITERS}"
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = mm.synthesize_media(spark, n=64)
     return mm.extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
@@ -587,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_steiner": _q_steiner,
         "graph_celf": _q_celf,
         "graph_sssp_paths": _q_sssp_paths,
+        "graph_hashgnn": _q_hashgnn,
     }
 
 
@@ -1154,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bellman": _bellman_dist_oracle_sql(),
         "graph_astar": _astar_oracle_sql(),
         "graph_steiner": _steiner_oracle_sql(),
+        "graph_hashgnn": _hashgnn_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

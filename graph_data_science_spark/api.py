@@ -343,6 +343,14 @@ class Algo:
         df = _fastrp.fast_rp(self.graph, **kw)
         return _mode(df, "embedding", {}, self.catalog, self.graph.name)
 
+    def hashgnn(self, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.hashgnn import hashgnn as _hgnn
+
+        r = _hgnn(self.graph, **kw)
+        return _mode(r.embeddings, "embedding",
+                     {"dimension": r.dimension, "iterations": len(r.metrics)},
+                     self.catalog, self.graph.name)
+
     # -- estimate stubs ---------------------------------------------------
     def estimate(self, algo: str) -> dict[str, Any]:
         """rows×width advisory estimate (reference pins exact bytes via
