@@ -548,6 +548,96 @@ def _q_celf(spark, sf_dir):
     return res.seeds.select("rank", "vid", F.round("spread", 2).alias("spread"))
 
 
+_LP_PART_BOUND = 100   # part co-occurrence DAG: l_partkey < 100 (depth 9 at sf0.01)
+_LP_UNROLLED = 14      # max-relaxation rounds in the oracle (depth + headroom)
+
+
+def _q_longest_path(spark, sf_dir):
+    """dag.longestPath over the part co-occurrence DAG (edges oriented
+    pa < pb => acyclic; weight = co-occurrence count, integral doubles so
+    distance arithmetic is float-exact in both engines). Path rendered as
+    a '->' string like graph_sssp_paths."""
+    from graph_data_science_spark.operators.paths import longest_path
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .filter(F.col("p") < _LP_PART_BOUND)
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    g = Graph.from_edges(edges)
+    res = longest_path(g)
+    return res.select(
+        "source_node", "target_node",
+        F.round("total_cost", 4).alias("total_cost"),
+        F.concat_ws(
+            "->", F.transform("node_ids", lambda x: x.cast("string"))
+        ).alias("path"),
+    )
+
+
+def _longest_path_oracle_sql() -> str:
+    """Unrolled MAX-relaxation (valid on the DAG), deterministic parent =
+    min predecessor achieving the max distance (the operator's tie rule),
+    recursive parent walk; source per path = the walk's terminal node."""
+    K = _LP_UNROLLED
+    ctes = [
+        "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        f"FROM lineitem WHERE l_partkey < {_LP_PART_BOUND})",
+        """e AS MATERIALIZED (
+            SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS weight
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        """d0 AS MATERIALIZED (
+            SELECT vid, CASE WHEN vid NOT IN (SELECT dst FROM e)
+                             THEN 0.0 ELSE -1e18 END AS d
+            FROM nodes
+        )""",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+            SELECT p.vid, GREATEST(p.d, COALESCE(m.md, -1e18)) AS d
+            FROM d{k - 1} p LEFT JOIN (
+                SELECT e.dst AS vid, MAX(s.d + e.weight) AS md
+                FROM e JOIN d{k - 1} s ON s.vid = e.src
+                WHERE s.d > -1e17 GROUP BY e.dst
+            ) m ON m.vid = p.vid
+        )""")
+    inner = f"""
+        WITH {','.join(ctes)},
+        parent AS MATERIALIZED (
+            SELECT e.dst AS vid, MIN(e.src) AS parent
+            FROM e JOIN d{K} s ON s.vid = e.src JOIN d{K} t ON t.vid = e.dst
+            WHERE s.d + e.weight = t.d AND s.d > -1e17
+            GROUP BY e.dst
+        )
+        SELECT t.vid, t.d, p.parent
+        FROM d{K} t LEFT JOIN parent p ON p.vid = t.vid
+        WHERE t.d > -1e17
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    walk(target, cur, path) AS (
+        SELECT vid, vid, CAST(vid AS VARCHAR) FROM base
+        UNION ALL
+        SELECT w.target, b.parent, CAST(b.parent AS VARCHAR) || '->' || w.path
+        FROM walk w JOIN base b ON b.vid = w.cur AND b.parent IS NOT NULL
+    )
+    SELECT w.cur AS source_node, w.target AS target_node,
+           ROUND(b2.d, 4)::DOUBLE AS total_cost, w.path AS path
+    FROM walk w
+    JOIN base b2 ON b2.vid = w.target
+    JOIN base broot ON broot.vid = w.cur AND broot.parent IS NULL
+    """
+
+
 _HGNN_N = 200          # nodes: vec_id < 200 from embeddings.parquet
 _HGNN_BITS = 16        # binary feature dimension
 _HGNN_K = 4            # embedding_density (hash rounds per iteration)
@@ -734,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_celf": _q_celf,
         "graph_sssp_paths": _q_sssp_paths,
         "graph_hashgnn": _q_hashgnn,
+        "graph_longest_path": _q_longest_path,
     }
 
 
@@ -1302,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_astar": _astar_oracle_sql(),
         "graph_steiner": _steiner_oracle_sql(),
         "graph_hashgnn": _hashgnn_oracle_sql(),
+        "graph_longest_path": _longest_path_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

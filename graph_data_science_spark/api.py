@@ -270,6 +270,14 @@ class Algo:
         return _mode(r.distances, "distance",
                      {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
 
+    def dag_topological_sort(self, **kw) -> ModeResult:
+        df = _paths.topological_sort(self.graph, **kw)
+        return _mode(df, "layer", {}, self.catalog, self.graph.name)
+
+    def dag_longest_path(self, **kw) -> ModeResult:
+        df = _paths.longest_path(self.graph, **kw)
+        return _mode(df, "total_cost", {}, self.catalog, self.graph.name)
+
     def shortest_path_dijkstra(self, source, target, **kw) -> ModeResult:
         from graph_data_science_spark.operators.dijkstra import dijkstra as _dij
 

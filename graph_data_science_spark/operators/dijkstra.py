@@ -115,12 +115,14 @@ def _parent_fixpoint(
 
 def _reconstruct(
     parents: DataFrame,  # (vid, dist, parent)
-    source: int,
+    source: int | None,
     targets: DataFrame,  # (vid) reachable targets
     max_rounds: int,
 ) -> DataFrame:
     """Backward parent-pointer walk entirely with joins. Arrays build
-    from the target back to the source, then flip."""
+    from the target back to the source, then flip. source=None derives
+    each path's source from its own first node (multi-source trees,
+    e.g. dag.longestPath)."""
     ptab = parents.select(
         F.col("vid").alias("cur"), F.col("dist").alias("cur_dist"), "parent"
     ).persist()
@@ -157,8 +159,12 @@ def _reconstruct(
         )
         active = stepped.filter(F.col("cur_next").isNotNull())
     ptab.unpersist()
+    src_col = (
+        F.lit(source) if source is not None
+        else F.element_at(F.reverse("node_ids_rev"), 1)
+    )
     out = done.select(
-        F.lit(source).alias("source_node"),
+        src_col.alias("source_node"),
         F.col("target").alias("target_node"),
         "total_cost",
         F.reverse("node_ids_rev").alias("node_ids"),

@@ -205,3 +205,109 @@ def topological_sort(
     )
     edges.unpersist()
     return res.state.select("vid", "layer")
+
+
+def longest_path(
+    graph: Graph,
+    max_iterations: int = 1000,
+    engine: PregelEngine | None = None,
+    stats_interval: int = 8,
+) -> DataFrame:
+    """gds.dag.longestPath (algo/.../dag/longestPath/DagLongestPath.java):
+    the WEIGHTED longest path from any zero-in-degree source to each node,
+    as full PathFindingResult rows
+    (index, source_node, target_node, total_cost, node_ids, costs) —
+    WeightedDagLongestPathTest fixture parity in tests/test_paths.py.
+
+    Same zero-in-degree peeling fixpoint as topological_sort, additionally
+    carrying (dist, parent): when a node's in-degree drains to zero every
+    predecessor is finalized, so its running max over incoming
+    (pred_dist + weight) is the true longest distance (the reference's
+    TentativeDistances with a max comparator). Distance ties break to the
+    smaller parent vid (the reference's parallel task order is
+    nondeterministic there; we pin it for engine-portable results). Nodes
+    on cycles never drain and are skipped, like the reference."""
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.edges.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "weight"
+        )
+        .repartition(n_part, "e_src")
+        .sortWithinPartitions("e_src")
+        .persist()
+    )
+    indeg0 = (
+        graph.nodes.select("vid")
+        .join(
+            edges.groupBy(F.col("e_dst").alias("vid")).agg(F.count(F.lit(1)).alias("d")),
+            "vid", "left",
+        )
+        .select("vid", F.coalesce("d", F.lit(0)).alias("indeg"))
+    )
+    state0 = indeg0.select(
+        "vid", "indeg",
+        F.when(F.col("indeg") == 0, F.lit(0)).cast("long").alias("layer"),
+        F.when(F.col("indeg") == 0, F.lit(0.0)).alias("dist"),
+        F.lit(None).cast("long").alias("parent"),
+    )
+
+    def step(state: DataFrame, s: int) -> DataFrame:
+        if s == 0:
+            return state
+        senders = state.filter(F.col("layer") == s - 1).select(
+            F.col("vid").alias("e_src"), F.col("dist").alias("s_dist")
+        )
+        # max (dist, -parent) struct => max distance, ties to smaller parent
+        msgs = (
+            senders.join(edges, "e_src")
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg(
+                F.count(F.lit(1)).alias("dec"),
+                F.max(
+                    F.struct(
+                        (F.col("s_dist") + F.col("weight")).alias("d"),
+                        (-F.col("e_src")).alias("np"),
+                    )
+                ).alias("best"),
+            )
+        )
+        joined = state.join(msgs, "vid", "left")
+        new_indeg = F.col("indeg") - F.coalesce(F.col("dec"), F.lit(0))
+        msg_d = F.col("best")["d"]
+        msg_p = -F.col("best")["np"]
+        better = F.col("best").isNotNull() & (
+            F.col("dist").isNull()
+            | (msg_d > F.col("dist"))
+            | ((msg_d == F.col("dist")) & (msg_p < F.col("parent")))
+        )
+        newly = F.col("layer").isNull() & (new_indeg == 0) & F.col("dec").isNotNull()
+        return joined.select(
+            "vid",
+            new_indeg.alias("indeg"),
+            F.when(newly, F.lit(s).cast("long")).otherwise(F.col("layer")).alias("layer"),
+            F.when(better, msg_d).otherwise(F.col("dist")).alias("dist"),
+            F.when(better, msg_p).otherwise(F.col("parent")).alias("parent"),
+        )
+
+    eng = engine or PregelEngine(spark)
+    res = eng.run(
+        initial_state=state0,
+        step=step,
+        stats_exprs=[F.max("layer").alias("max_layer")],
+        converged=lambda st: (st["max_layer"] if st["max_layer"] is not None else -1)
+        < st["superstep"],
+        max_iterations=max_iterations,
+        stats_interval=stats_interval,
+    )
+    edges.unpersist()
+
+    from graph_data_science_spark.operators.dijkstra import _reconstruct
+    from graph_data_science_spark.plans.lineage import cut_lineage
+
+    finalized = cut_lineage(
+        res.state.filter(F.col("layer").isNotNull()).select("vid", "dist", "parent")
+    )
+    return _reconstruct(
+        finalized, None, finalized.select("vid"), res.ran_iterations + 1
+    )

@@ -67,3 +67,39 @@ def test_topological_sort_deep_chain(spark):
     g = Graph.from_edges(edges)
     out = {r["vid"]: r["layer"] for r in topological_sort(g, max_iterations=n + 5).collect()}
     assert out == {i: i for i in range(n)}
+
+
+def test_longest_path_weighted_fixture(spark):
+    """WeightedDagLongestPathTest.basicWeightedLongestPath: n3-8->n0,
+    n0-8->n1, n0-5->n2, n2-2->n1 => n1's longest is 16 via [3,0,1]."""
+    from graph_data_science_spark.operators.paths import longest_path
+
+    edges = spark.createDataFrame(
+        [(0, 1, 8.0), (0, 2, 5.0), (2, 1, 2.0), (3, 0, 8.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    rows = {r["target_node"]: r for r in longest_path(g).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[3]["total_cost"] == 0.0 and rows[3]["node_ids"] == [3]
+    assert rows[0]["total_cost"] == 8.0 and rows[0]["node_ids"] == [3, 0]
+    assert rows[1]["total_cost"] == 16.0 and rows[1]["node_ids"] == [3, 0, 1]
+    assert rows[2]["total_cost"] == 13.0 and rows[2]["node_ids"] == [3, 0, 2]
+    assert all(r["source_node"] == 3 for r in rows.values())
+    assert rows[1]["costs"] == [0.0, 8.0, 16.0]
+
+
+def test_longest_path_skips_cycles_and_breaks_ties_to_min_parent(spark):
+    from graph_data_science_spark.operators.paths import longest_path
+
+    edges = spark.createDataFrame(
+        # two sources 0 and 1 both reach 2 at equal cost -> parent tie -> 0
+        # 3<->4 is a cycle: no path rows for 3, 4
+        [(0, 2, 1.0), (1, 2, 1.0), (3, 4, 1.0), (4, 3, 1.0), (2, 5, 2.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    rows = {r["target_node"]: r for r in longest_path(g).collect()}
+    assert set(rows) == {0, 1, 2, 5}
+    assert rows[2]["node_ids"] == [0, 2] and rows[2]["total_cost"] == 1.0
+    assert rows[5]["node_ids"] == [0, 2, 5] and rows[5]["total_cost"] == 3.0
