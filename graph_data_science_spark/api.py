@@ -351,6 +351,14 @@ class Algo:
         df = _fastrp.fast_rp(self.graph, **kw)
         return _mode(df, "embedding", {}, self.catalog, self.graph.name)
 
+    def graphsage_train(self, features: DataFrame, **kw) -> ModeResult:
+        from graph_data_science_spark.operators.graphsage import graphsage_train as _gst
+
+        r = _gst(self.graph, features, **kw)
+        return _mode(r.embeddings, "embedding",
+                     {"lossPerEpoch": r.model.loss_per_epoch},
+                     self.catalog, self.graph.name)
+
     def hashgnn(self, **kw) -> ModeResult:
         from graph_data_science_spark.operators.hashgnn import hashgnn as _hgnn
 
