@@ -548,6 +548,56 @@ def _q_celf(spark, sf_dir):
     return res.seeds.select("rank", "vid", F.round("spread", 2).alias("spread"))
 
 
+_ASP_SRC_BOUND = 60    # allShortestPaths sources: custkeys < 60
+_ASP_UNROLLED = 8      # BFS relaxation rounds in the oracle
+
+
+def _q_all_shortest_paths(spark, sf_dir):
+    """allShortestPaths.stream (MS-BFS hop distances) from the custkey<60
+    sources over the UNDIRECTED customer-supplier graph — every reachable
+    (source, target) pair."""
+    from graph_data_science_spark.operators.paths import all_shortest_paths_stream
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _cs_edges_small(spark, sf_dir)
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    srcs = (
+        g.nodes.select("vid").filter(F.col("vid") < _ASP_SRC_BOUND)
+    )
+    res = all_shortest_paths_stream(g, sources=srcs, batch_size=128)
+    return res.select(
+        "source_node", "target_node", F.col("distance").cast("double").alias("distance")
+    )
+
+
+def _asp_oracle_sql() -> str:
+    """Unrolled all-pairs min-relaxation over (source, target) pair state —
+    BFS depth bounded by _ASP_UNROLLED (diameter of the restricted
+    bipartite graph is well under it; a too-small unroll diverges loudly)."""
+    K = _ASP_UNROLLED
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"srcs AS MATERIALIZED (SELECT vid FROM nodes WHERE vid < {_ASP_SRC_BOUND})",
+        "p0 AS MATERIALIZED (SELECT vid AS s, vid AS t, 0.0 AS d FROM srcs)",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+            SELECT s, t, MIN(d) AS d FROM (
+                SELECT s, t, d FROM p{k - 1}
+                UNION ALL
+                SELECT p.s, eu.dst AS t, p.d + 1.0 AS d
+                FROM p{k - 1} p JOIN eu ON eu.src = p.t
+            ) GROUP BY s, t
+        )""")
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT s AS source_node, t AS target_node, d::DOUBLE AS distance FROM p{K}"
+    )
+
+
 _LP_PART_BOUND = 100   # part co-occurrence DAG: l_partkey < 100 (depth 9 at sf0.01)
 _LP_UNROLLED = 14      # max-relaxation rounds in the oracle (depth + headroom)
 
@@ -825,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_paths": _q_sssp_paths,
         "graph_hashgnn": _q_hashgnn,
         "graph_longest_path": _q_longest_path,
+        "graph_all_shortest_paths": _q_all_shortest_paths,
     }
 
 
@@ -1394,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_steiner": _steiner_oracle_sql(),
         "graph_hashgnn": _hashgnn_oracle_sql(),
         "graph_longest_path": _longest_path_oracle_sql(),
+        "graph_all_shortest_paths": _asp_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

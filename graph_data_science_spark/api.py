@@ -270,6 +270,10 @@ class Algo:
         return _mode(r.distances, "distance",
                      {"ranIterations": r.ran_iterations}, self.catalog, self.graph.name)
 
+    def all_shortest_paths_stream(self, **kw) -> ModeResult:
+        df = _paths.all_shortest_paths_stream(self.graph, **kw)
+        return _mode(df, "distance", {}, self.catalog, self.graph.name)
+
     def dag_topological_sort(self, **kw) -> ModeResult:
         df = _paths.topological_sort(self.graph, **kw)
         return _mode(df, "layer", {}, self.catalog, self.graph.name)

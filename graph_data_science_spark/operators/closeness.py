@@ -60,10 +60,22 @@ def multi_source_hop_distances(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.repartition(n_part, "e_src").sortWithinPartitions("e_src").persist()
 
-    init = F.array(*[
-        F.when(F.col("vid") == F.lit(s), F.lit(0.0)).otherwise(F.lit(_INF)) for s in sources
-    ])
-    state0 = graph.nodes.select("vid", init.alias("dists"), F.lit(True).alias("changed"))
+    # O(1)-size init expression regardless of k (a k-wide literal
+    # F.array(*[F.when...]) costs Catalyst seconds of analysis+codegen per
+    # superstep at wide k — the betweenness lesson): broadcast source-index
+    # join + transform(sequence)
+    src_df = spark.createDataFrame(
+        [(int(s), i) for i, s in enumerate(sources)], "vid long, _src_idx int"
+    )
+    init = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.when(i == F.col("_src_idx"), F.lit(0.0)).otherwise(F.lit(_INF)),
+    )
+    state0 = (
+        graph.nodes.select("vid")
+        .join(F.broadcast(src_df), "vid", "left")
+        .select("vid", init.alias("dists"), F.lit(True).alias("changed"))
+    )
 
     def step(state, s):
         senders = state.filter(F.col("changed")).select(
@@ -75,7 +87,7 @@ def multi_source_hop_distances(
             F.col("e_dst").alias("vid"),
             F.transform("sd", lambda d: d + 1.0).alias("cd"),
         )
-        inf_arr = F.array(*[F.lit(_INF) for _ in range(k)])
+        inf_arr = F.array_repeat(F.lit(_INF), k)
         msgs = cand.groupBy("vid").agg(
             F.aggregate(
                 F.collect_list("cd"), inf_arr,

@@ -103,3 +103,22 @@ def test_longest_path_skips_cycles_and_breaks_ties_to_min_parent(spark):
     assert set(rows) == {0, 1, 2, 5}
     assert rows[2]["node_ids"] == [0, 2] and rows[2]["total_cost"] == 1.0
     assert rows[5]["node_ids"] == [0, 2, 5] and rows[5]["total_cost"] == 3.0
+
+
+def test_all_shortest_paths_stream(spark):
+    """MSBFSAllShortestPathsTest intent: every reachable pair with hop
+    distance; batching must not change the result."""
+    from graph_data_science_spark.operators.paths import all_shortest_paths_stream
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (4, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    rows = {(r["source_node"], r["target_node"]): r["distance"]
+            for r in all_shortest_paths_stream(g, batch_size=2).collect()}
+    assert rows[(0, 3)] == 3.0 and rows[(0, 0)] == 0.0 and rows[(1, 2)] == 1.0
+    assert (3, 0) not in rows  # directed
+    one_batch = {(r["source_node"], r["target_node"]): r["distance"]
+                 for r in all_shortest_paths_stream(g, batch_size=64).collect()}
+    assert rows == one_batch
