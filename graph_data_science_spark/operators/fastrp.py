@@ -100,7 +100,7 @@ def fast_rp(
             "vid", F.transform("vec", lambda v: v * F.col("_s")).alias("vec")
         )
 
-    zero = F.array(*[F.lit(0.0) for _ in range(embedding_dimension)])
+    zero = F.array_repeat(F.lit(0.0), embedding_dimension)
     acc = None
     w0 = iteration_weights[0]
     if w0 != 0.0:
