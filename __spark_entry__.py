@@ -535,17 +535,80 @@ def _q_steiner(spark, sf_dir):
     )
 
 
+_CELF_K = 5
+_CELF_P = 0.2
+_CELF_R = 200          # 10 simulations x 20 RR samples
+_CELF_SEED = 7
+_CELF_BFS_UNROLL = 3   # reverse-BFS depth bound in the oracle (bipartite: 1)
+
+
 def _q_celf(spark, sf_dir):
-    """CELF seeds over the customer->supplier graph (deterministic
-    hash-seeded RR sampling). Rows-only: the RIS estimator is not
-    SQL-expressible; determinism + hub-dominance in pytest."""
+    """CELF seeds over the customer->supplier graph. coin="md5" makes
+    every random choice (root pick + per-(sample, edge) liveness) an
+    engine-portable md5 coin, so the DuckDB oracle replays the IDENTICAL
+    RR sampling and greedy max-coverage — hash-exact, not rows-only."""
     from graph_data_science_spark.operators.influence import celf
 
     edges = _cs_edges_small(spark, sf_dir)
     g = Graph.from_edges(edges)
-    res = celf(g, seed_set_size=5, propagation_probability=0.2,
-               monte_carlo_simulations=10, rr_per_simulation=20, random_seed=7)
+    res = celf(g, seed_set_size=_CELF_K, propagation_probability=_CELF_P,
+               monte_carlo_simulations=10, rr_per_simulation=20,
+               random_seed=_CELF_SEED, coin="md5")
     return res.seeds.select("rank", "vid", F.round("spread", 2).alias("spread"))
+
+
+def _celf_oracle_sql() -> str:
+    """DuckDB replay of _q_celf: identical md5 coins (the simhash-oracle
+    hex recipe), unrolled reverse BFS over per-sample live edges, and the
+    unrolled greedy max-coverage with CELF's (count desc, vid asc) order."""
+    p32 = int(_CELF_P * (1 << 32))
+    sd = _CELF_SEED
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "ranked AS MATERIALIZED (SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS rk FROM nodes)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        f"""roots AS MATERIALIZED (
+            SELECT s.sample, r.vid AS node
+            FROM (SELECT unnest(generate_series(0, {_CELF_R - 1})) AS sample) s
+            CROSS JOIN nn
+            JOIN ranked r ON r.rk =
+                ('0x' || substr(md5('{sd}#r#' || s.sample::VARCHAR), 1, 8))::BIGINT % nn.n
+        )""",
+        "m0 AS MATERIALIZED (SELECT sample, node FROM roots)",
+    ]
+    for k in range(_CELF_BFS_UNROLL):
+        ctes.append(f"""m{k + 1} AS MATERIALIZED (
+            SELECT sample, node FROM m{k}
+            UNION
+            SELECT m.sample, ed.src AS node
+            FROM m{k} m JOIN ed ON ed.dst = m.node
+            WHERE ('0x' || substr(md5('{sd}#e#' || m.sample::VARCHAR || '#'
+                   || ed.src::VARCHAR || '#' || ed.dst::VARCHAR), 1, 8))::BIGINT
+                  < {p32}
+        )""")
+    rr = f"m{_CELF_BFS_UNROLL}"
+    ctes.append(f"rr0 AS MATERIALIZED (SELECT sample, node FROM {rr})")
+    for i in range(_CELF_K):
+        ctes.append(f"""g{i} AS MATERIALIZED (
+            SELECT node, count(*) AS cnt FROM rr{i}
+            GROUP BY node ORDER BY cnt DESC, node ASC LIMIT 1
+        )""")
+        if i < _CELF_K - 1:
+            ctes.append(f"""rr{i + 1} AS MATERIALIZED (
+                SELECT r.sample, r.node FROM rr{i} r
+                ANTI JOIN (SELECT DISTINCT x.sample FROM rr{i} x
+                           JOIN g{i} USING (node)) c USING (sample)
+            )""")
+    selects = []
+    for i in range(_CELF_K):
+        cum = " + ".join(f"(SELECT cnt FROM g{j})" for j in range(i + 1))
+        selects.append(
+            f"SELECT {i}::INTEGER AS rank, (SELECT node FROM g{i})::BIGINT AS vid, "
+            f"ROUND((SELECT n FROM nn) * ({cum}) / {float(_CELF_R)}, 2)::DOUBLE AS spread"
+        )
+    return f"WITH {','.join(ctes)} " + " UNION ALL ".join(selects)
 
 
 _ASP_SRC_BOUND = 60    # allShortestPaths sources: custkeys < 60
@@ -1446,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hashgnn": _hashgnn_oracle_sql(),
         "graph_longest_path": _longest_path_oracle_sql(),
         "graph_all_shortest_paths": _asp_oracle_sql(),
+        "graph_celf": _celf_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -42,6 +42,15 @@ class CELFResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _md5_u32(*cols):
+    """First 8 md5 hex chars of '#'-joined parts as a uint32 — identical
+    in DuckDB as ('0x' || substr(md5(...), 1, 8))::BIGINT, which is what
+    makes the graph_celf oracle hash-exact."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def celf(
     graph: Graph,
     seed_set_size: int,
@@ -50,11 +59,14 @@ def celf(
     random_seed: int = 42,
     rr_per_simulation: int = 10,
     max_iterations: int = 50,
+    coin: str = "xxhash64",
 ) -> CELFResult:
     """Greedy influence maximization under Independent Cascade.
     R = monte_carlo_simulations * rr_per_simulation reverse-reachable
     samples; each sample draws a uniform root (hash) and a live-edge
-    subgraph (every edge kept i.i.d. with propagation_probability)."""
+    subgraph (every edge kept i.i.d. with propagation_probability).
+    coin="xxhash64" (default, pure-JVM fast path) or "md5" (engine-
+    portable — the DuckDB oracle replays the identical coins)."""
     spark = graph.edges.sparkSession
     n = graph.nodes.count()
     k = min(seed_set_size, n)
@@ -66,11 +78,16 @@ def celf(
 
     ranked = distributed_row_index(graph.nodes.select("vid"), ["vid"], index_col="rk")
     samples = spark.range(r_total).select(F.col("id").alias("sample"))
-    roots = (
-        samples.withColumn(
-            "rk",
-            F.pmod(F.abs(F.xxhash64(F.lit(random_seed), F.col("sample"))), F.lit(n)),
+    if coin == "md5":
+        root_rk = F.pmod(
+            _md5_u32(F.lit(str(random_seed)), F.lit("r"), F.col("sample")), F.lit(n)
         )
+    else:
+        root_rk = F.pmod(
+            F.abs(F.xxhash64(F.lit(random_seed), F.col("sample"))), F.lit(n)
+        )
+    roots = (
+        samples.withColumn("rk", root_rk)
         .join(ranked, "rk")
         .select("sample", F.col("vid").alias("node"))
     )
@@ -85,23 +102,32 @@ def celf(
         .distinct()
         .persist()
     )
+    if coin == "md5":
+        p32 = int(propagation_probability * (1 << 32))
+        live = (
+            _md5_u32(F.lit(str(random_seed)), F.lit("e"), F.col("sample"),
+                     F.col("prev"), F.col("node"))
+            < F.lit(p32)
+        )
+    else:
+        live = (
+            F.pmod(
+                F.abs(
+                    F.xxhash64(
+                        F.lit(random_seed + 1), F.col("sample"),
+                        F.col("prev"), F.col("node"),
+                    )
+                ),
+                F.lit(1 << 30),
+            )
+            < F.lit(p_scaled)
+        )
     member = roots.withColumn("origin", F.lit(True)).persist()
     frontier = roots
     for _ in range(max_iterations):
         nxt = (
             frontier.join(redges, "node")
-            .filter(
-                F.pmod(
-                    F.abs(
-                        F.xxhash64(
-                            F.lit(random_seed + 1), F.col("sample"),
-                            F.col("prev"), F.col("node"),
-                        )
-                    ),
-                    F.lit(1 << 30),
-                )
-                < F.lit(p_scaled)
-            )
+            .filter(live)
             .select("sample", F.col("prev").alias("node"))
             .distinct()
             .join(member.select("sample", "node"), ["sample", "node"], "left_anti")
