@@ -355,6 +355,14 @@ class Algo:
         df = _fastrp.fast_rp(self.graph, **kw)
         return _mode(df, "embedding", {}, self.catalog, self.graph.name)
 
+    def link_prediction_train(self, embeddings: DataFrame, **kw):
+        """Trained link-prediction pipeline (feature steps -> split ->
+        logistic model -> AUC); returns the model object, whose
+        .predict(pairs) yields (src, dst, probability)."""
+        from graph_data_science_spark.ml.pipelines import link_prediction_train as _lpt
+
+        return _lpt(self.graph, embeddings, **kw)
+
     def graphsage_train(self, features: DataFrame, **kw) -> ModeResult:
         from graph_data_science_spark.operators.graphsage import graphsage_train as _gst
 
