@@ -90,14 +90,19 @@ class LinkPredictionModel:
 
 def _auc(scored: DataFrame) -> float:
     """Rank-sum (Mann-Whitney) AUC, distributed: rank all test scores with
-    the two-phase index, then AUC = (Σ ranks⁺ - P(P+1)/2) / (P·N).
-    Ties broken by (score, y, src, dst) — deterministic; with continuous
-    scores the tie term is negligible."""
+    the two-phase index, replace each tie group's ranks with the group's
+    MIDRANK (avg rank per distinct probability — the standard Mann-Whitney
+    tie correction), then AUC = (Σ midranks⁺ - P(P+1)/2) / (P·N). Without
+    midranks a tied positive outranks every tied negative and a
+    constant-score classifier scores 1.0 instead of 0.5 — and sigmoid
+    saturation makes large tie groups realistic."""
     ranked = distributed_row_index(
         scored, ["probability", "y", "src", "dst"], index_col="_r"
     )
+    mid = ranked.groupBy("probability").agg(F.avg(F.col("_r") + 1).alias("_mr"))
+    ranked = ranked.join(mid, "probability")
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("_r") + 1)).alias("rsum"),
+        F.sum(F.when(F.col("y") == 1.0, F.col("_mr"))).alias("rsum"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("p"),
         F.count(F.lit(1)).alias("t"),
     ).collect()[0]
@@ -133,26 +138,47 @@ def link_prediction_train(
     n_pos = pos.count()
 
     # negatives: hash-pick (rankA, rankB) pairs over the dense node rank,
-    # reject self-pairs and actual edges (anti-join); oversample 1.5x to
-    # survive rejection, then keep the first `needed` by hash order
+    # reject self-pairs, actual edges (anti-join) and duplicate candidate
+    # pairs (different _j can hash to the same (src, dst)); keep the first
+    # `needed` survivors by hash order. Dense graphs reject many
+    # candidates, so grow the attempt pool geometrically until enough
+    # distinct negatives survive (or the pool is hopeless).
     ranked = distributed_row_index(graph.nodes.select("vid"), ["vid"], index_col="rk")
     ranked = ranked.persist()
     n = ranked.count()
     needed = int(negative_sampling_ratio * n_pos)
-    attempts = spark.range(int(needed * 1.5) + 8).select(F.col("id").alias("_j"))
-    cand = (
-        attempts.withColumn(
-            "_ra", F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("_j"))), F.lit(n))
-        ).withColumn(
-            "_rb", F.pmod(F.abs(F.xxhash64(F.lit(seed + 2), F.col("_j"))), F.lit(n))
+
+    def _candidates(pool: int) -> DataFrame:
+        attempts = spark.range(pool).select(F.col("id").alias("_j"))
+        return (
+            attempts.withColumn(
+                "_ra", F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("_j"))), F.lit(n))
+            ).withColumn(
+                "_rb", F.pmod(F.abs(F.xxhash64(F.lit(seed + 2), F.col("_j"))), F.lit(n))
+            )
+            .join(ranked.select(F.col("rk").alias("_ra"), F.col("vid").alias("src")), "_ra")
+            .join(ranked.select(F.col("rk").alias("_rb"), F.col("vid").alias("dst")), "_rb")
+            .filter(F.col("src") != F.col("dst"))
+            .select("_j", "src", "dst")
+            .join(pos.select("src", "dst"), ["src", "dst"], "left_anti")
+            .groupBy("src", "dst").agg(F.min("_j").alias("_j"))
         )
-        .join(ranked.select(F.col("rk").alias("_ra"), F.col("vid").alias("src")), "_ra")
-        .join(ranked.select(F.col("rk").alias("_rb"), F.col("vid").alias("dst")), "_rb")
-        .filter(F.col("src") != F.col("dst"))
-        .select("_j", "src", "dst")
-        .join(pos.select("src", "dst"), ["src", "dst"], "left_anti")
-        .orderBy("_j").limit(needed)
-    )
+
+    pool = int(needed * 2) + 8
+    cand = _candidates(pool).orderBy("_j").limit(needed)
+    for _ in range(3):
+        if cand.count() >= needed:
+            break
+        pool *= 4
+        cand = _candidates(pool).orderBy("_j").limit(needed)
+    else:
+        if cand.count() < needed:
+            import warnings
+
+            warnings.warn(
+                f"negative sampling found only {cand.count()}/{needed} distinct "
+                "non-edges (graph too dense); training proceeds with fewer negatives"
+            )
     hneg = F.pmod(F.abs(F.xxhash64(F.lit(seed + 3), F.col("src"), F.col("dst"))), F.lit(1000))
     neg = cand.withColumn("_test", hneg < F.lit(int(test_fraction * 1000)))
 

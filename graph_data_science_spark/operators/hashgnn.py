@@ -184,6 +184,7 @@ def hashgnn(
     generate_dimension: int | None = None,
     generate_density: int = 2,
     output_dimension: int | None = None,
+    input_dimension: int | None = None,
     seed: int = 42,
 ) -> HashGNNResult:
     """HashGNN embeddings over ``graph``.
@@ -193,7 +194,14 @@ def hashgnn(
     ``generate_dimension``/``generate_density`` synthesize them
     (GenerateFeaturesTask path). Returns binary 0/1 vectors of the input
     dimension as array<double>, or — with ``output_dimension`` — the
-    sparse-projection densified vectors (DensifyTask.java:61-88)."""
+    sparse-projection densified vectors (DensifyTask.java:61-88).
+
+    input_dimension: the declared feature dimension. When feature_df comes
+    from ``binarize_features(dimension=d)`` with sparse activations the
+    highest bit may be unset across all nodes, so deriving the width from
+    max(bit)+1 would silently shrink the output; pass d explicitly (the
+    generate path carries generate_dimension automatically). The
+    data-derived max-bit is only the fallback when no dimension is given."""
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -203,10 +211,15 @@ def hashgnn(
         feature_df = generate_features(
             graph.nodes.select("vid"), generate_dimension, generate_density, seed
         )
-    dim_row = feature_df.select(
-        F.max(F.array_max(F.col("bits"))).alias("m")
-    ).first()
-    dimension = int(dim_row["m"] or 0) + 1
+        if input_dimension is None:
+            input_dimension = generate_dimension
+    if input_dimension is not None:
+        dimension = int(input_dimension)
+    else:
+        dim_row = feature_df.select(
+            F.max(F.array_max(F.col("bits"))).alias("m")
+        ).first()
+        dimension = int(dim_row["m"] or 0) + 1
 
     # undirected message flow matches the reference's projection default
     # (orientation is a Graph property here; edges are used as stored)

@@ -135,11 +135,14 @@ def celf(
         )
         if nxt.limit(1).count() == 0:
             break
+        prev_member = member
         member = (
             member.unionByName(nxt.withColumn("origin", F.lit(False)))
             .transform(cut_lineage)
             .persist()
         )
+        member.count()  # materialize the union before dropping its input
+        prev_member.unpersist()
         frontier = nxt
 
     rr = member.select("sample", "node").persist()

@@ -111,6 +111,13 @@ def steiner_tree(
     tree_cost: dict[int, float] = {source: 0.0}
     total_cost = 0.0
     terminals_reached = 0
+    # parent-chain length to ANY settled node is bounded by the TOTAL
+    # relaxation supersteps across every continuation so far, not just the
+    # last one: a later continuation can converge in ~stats_interval rounds
+    # while an earlier-settled branch's chain is much longer. Bounding the
+    # backward walk by only the last run's count left `active` undrained
+    # and crashed on multi-terminal inputs with uneven branch depths.
+    total_supersteps = 0
     metrics: list[dict[str, Any]] = []
     if source in remaining:  # the source is trivially in the tree
         remaining.discard(source)
@@ -127,6 +134,7 @@ def steiner_tree(
         )
         metrics.extend(result.metrics)
         state = result.state
+        total_supersteps += result.ran_iterations
         nearest = (
             state.filter(F.col("vid").isin(list(remaining)) & (F.col("dist") < _INF))
             .orderBy("dist", "vid")
@@ -139,7 +147,7 @@ def steiner_tree(
         tdf = spark.createDataFrame([(t,)], "vid long")
         path_rows = _reconstruct(
             state.select("vid", "dist", "parent"), source, tdf,
-            max_rounds=max(result.ran_iterations, 1),
+            max_rounds=max(total_supersteps, 1),
         ).collect()
         ids = list(path_rows[0]["node_ids"])
         costs = list(path_rows[0]["costs"])

@@ -69,6 +69,26 @@ def test_steiner_shares_tree_paths(spark):
     assert rows[3] == 2  # via the tree, not the direct 5.0 edge
 
 
+def test_steiner_uneven_branch_depths(spark):
+    """Regression: a short branch's terminal settles first; after merging
+    it, the next continuation can converge at the first stats check while
+    the LONG branch's already-settled parent chain is much deeper than
+    that continuation's ran_iterations. The backward walk must be bounded
+    by CUMULATIVE supersteps, or it leaves `active` undrained and crashes.
+    Source 0 with a 3-hop branch to terminal B(103) and a 20-hop branch to
+    terminal A(120)."""
+    edges = [(0, 101, 1.0), (101, 102, 1.0), (102, 103, 1.0)]
+    edges += [(0, 1, 1.0)] + [(i, i + 1, 1.0) for i in range(1, 20)]
+    res = steiner_tree(
+        _graph(spark, edges), source=0, terminals=[103, 20], stats_interval=5
+    )
+    assert res.terminals_reached == 2
+    assert res.total_cost == 23.0
+    rows = {r["vid"]: r["parent"] for r in res.parents.collect()}
+    assert rows[103] == 102 and rows[20] == 19
+    assert res.effective_node_count == 24  # 0, 101..103, 1..20
+
+
 def test_celf_hub_first_deterministic(spark):
     """Two stars (hub 0 -> 1..8, hub 10 -> 11..14) with p=1: spread is
     deterministic (all edges live), so greedy must pick hub 0 (spread 9)
