@@ -902,6 +902,567 @@ def _q_multimodal_features(spark, sf_dir):
     return mm.extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
 
 
+# ---------------------------------------------------------------------------
+# round-4 oracle extensions: the formerly pytest-only operators
+# ---------------------------------------------------------------------------
+_NS_CUST_BOUND = 120   # nodeSimilarity slice: custkey < 120 bounds the
+                       # shared-neighbor self-join (sum indeg^2) in BOTH engines
+_CS_EDGES_NS_SQL = _CS_EDGES_SQL + f" HAVING o_custkey < {_NS_CUST_BOUND}"
+
+
+def _q_node_similarity(spark, sf_dir):
+    """gds.nodeSimilarity (Jaccard over OUT-neighbor sets, topK=10) on the
+    custkey<120 customer->supplier slice. similarity = |A∩B| / |A∪B| is a
+    ratio of integers — float-EXACT in both engines, so the topK tie
+    order (similarity desc, node2 asc) is engine-portable."""
+    from graph_data_science_spark.operators.similarity import node_similarity
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir).filter(F.col("src") < _NS_CUST_BOUND))
+    out = node_similarity(g, top_k=10)
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def _node_similarity_oracle_sql() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_CS_EDGES_NS_SQL})),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    inter AS MATERIALIZED (
+        SELECT a.src AS node1, b.src AS node2, count(*) AS i
+        FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT node1, node2, CAST(i AS DOUBLE) / (d1.deg + d2.deg - i) AS sim
+        FROM inter JOIN deg d1 ON d1.src = inter.node1
+                   JOIN deg d2 ON d2.src = inter.node2
+    ),
+    ranked AS (
+        SELECT node1, node2, sim,
+               row_number() OVER (PARTITION BY node1
+                                  ORDER BY sim DESC, node2 ASC) AS rn
+        FROM scored WHERE sim >= 1e-42
+    )
+    SELECT node1, node2, ROUND(sim, 6)::DOUBLE AS similarity
+    FROM ranked WHERE rn <= 10
+    """
+
+
+def _pivot_list(spark, sf_dir):
+    """The closeness/harmonic pivot set: every graph node with vid <
+    _ASP_SRC_BOUND — identical to the allShortestPaths source set, so the
+    oracle reuses the same unrolled-BFS pair table."""
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _cs_edges_small(spark, sf_dir), orientation=Orientation.UNDIRECTED
+    )
+    pivots = [
+        r["vid"]
+        for r in g.nodes.filter(F.col("vid") < _ASP_SRC_BOUND).orderBy("vid").collect()
+    ]
+    return g, pivots
+
+
+def _q_closeness(spark, sf_dir):
+    """Pivot-exact closeness (Wasserman-Faust: reached/Σd within the
+    explicit pivot set) — the score is a ratio of integers, float-exact."""
+    from graph_data_science_spark.operators.closeness import closeness_centrality
+
+    g, pivots = _pivot_list(spark, sf_dir)
+    res = closeness_centrality(g, pivots=pivots)
+    return res.scores.select("vid", F.round("score", 6).alias("score"))
+
+
+def _q_harmonic(spark, sf_dir):
+    from graph_data_science_spark.operators.closeness import harmonic_centrality
+
+    g, pivots = _pivot_list(spark, sf_dir)
+    res = harmonic_centrality(g, pivots=pivots)
+    return res.scores.select("vid", F.round("score", 6).alias("score"))
+
+
+def _pivot_centrality_oracle_sql(kind: str) -> str:
+    """Aggregate the allShortestPaths unrolled-BFS pair table per target:
+    closeness = reached/Σd, harmonic = Σ(1/d)/k (d>0 finite only)."""
+    K = _ASP_UNROLLED
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        f"srcs AS MATERIALIZED (SELECT vid FROM nodes WHERE vid < {_ASP_SRC_BOUND})",
+        "p0 AS MATERIALIZED (SELECT vid AS s, vid AS t, 0.0 AS d FROM srcs)",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+            SELECT s, t, MIN(d) AS d FROM (
+                SELECT s, t, d FROM p{k - 1}
+                UNION ALL
+                SELECT p.s, eu.dst AS t, p.d + 1.0 AS d
+                FROM p{k - 1} p JOIN eu ON eu.src = p.t
+            ) GROUP BY s, t
+        )""")
+    if kind == "closeness":
+        agg = (
+            "CASE WHEN COUNT(*) FILTER (WHERE d > 0) > 0 "
+            "THEN (COUNT(*) FILTER (WHERE d > 0))::DOUBLE "
+            "/ SUM(d) FILTER (WHERE d > 0) ELSE 0.0 END"
+        )
+    else:
+        agg = "COALESCE(SUM(1.0 / d) FILTER (WHERE d > 0), 0.0) / (SELECT count(*) FROM srcs)"
+    return f"""
+    WITH {','.join(ctes)},
+    agg AS (SELECT t AS vid, {agg} AS score FROM p{K} GROUP BY t)
+    SELECT n.vid, ROUND(COALESCE(a.score, 0.0), 6)::DOUBLE AS score
+    FROM nodes n LEFT JOIN agg a ON a.vid = n.vid
+    """
+
+
+def _q_scc(spark, sf_dir):
+    """gds.scc (Orzan coloring, component = max vid in SCC) on the
+    customer->supplier slice plus reverse edges where (src+dst)%3==0 —
+    deterministic cycles, so SCCs are non-trivial."""
+    from graph_data_science_spark.operators.scc import scc
+
+    base = _cs_edges_small(spark, sf_dir)
+    rev = base.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    g = Graph.from_edges(base.unionByName(rev))
+    res = scc(g)
+    assert res.did_converge, "scc round budget exhausted"
+    return res.components.select("vid", "component")
+
+
+def _scc_oracle_sql() -> str:
+    """SCC(v) = forward-reachable(v) ∩ backward-reachable(v); component =
+    MAX member vid (the coloring root is the max ancestor inside the SCC)."""
+    return f"""
+    WITH RECURSIVE e0 AS MATERIALIZED ({_CS_EDGES_SMALL_SQL}),
+    ed AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT dst AS src, src AS dst FROM e0 WHERE (src + dst) %% 3 = 0
+    ),
+    nodes AS MATERIALIZED (SELECT src AS vid FROM ed UNION SELECT dst FROM ed),
+    f(v, r) AS (
+        SELECT vid, vid FROM nodes
+        UNION
+        SELECT f.v, ed.dst FROM f JOIN ed ON ed.src = f.r
+    ),
+    b(v, r) AS (
+        SELECT vid, vid FROM nodes
+        UNION
+        SELECT b.v, ed.src FROM b JOIN ed ON ed.dst = b.r
+    )
+    SELECT f.v AS vid, MAX(f.r) AS component
+    FROM f JOIN b ON b.v = f.v AND b.r = f.r
+    GROUP BY f.v
+    """ % ()
+
+
+EV_K = 8  # eigenvector power iterations (tolerance=0 => exactly EV_K steps)
+
+
+def _q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality ((A+I)x with per-superstep global L2
+    normalization) on the part co-occurrence graph, EV_K fixed steps."""
+    from graph_data_science_spark.operators.pagerank import eigenvector
+
+    g = Graph.from_edges(_part_edges(spark, sf_dir))
+    res = eigenvector(g, tolerance=0.0, max_iterations=EV_K)
+    return res.scores.select("vid", F.round("score", 5).alias("score"))
+
+
+def _eigenvector_oracle_sql() -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_PART_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / sqrt((SELECT n FROM nn)) AS score FROM nodes)",
+    ]
+    for k in range(1, EV_K + 1):
+        ctes.append(f"""raw{k} AS MATERIALIZED (
+            SELECT n.vid, r.score + COALESCE(s.inflow, 0) AS raw
+            FROM nodes n JOIN r{k - 1} r ON r.vid = n.vid LEFT JOIN (
+                SELECT e.dst AS vid, SUM(r2.score) AS inflow
+                FROM e JOIN r{k - 1} r2 ON r2.vid = e.src GROUP BY e.dst
+            ) s ON s.vid = n.vid
+        )""")
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT vid, raw / "
+            f"(SELECT sqrt(SUM(raw * raw)) FROM raw{k}) AS score FROM raw{k})"
+        )
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, ROUND(score, 5)::DOUBLE AS score FROM r{EV_K}"
+    )
+
+
+HITS_K = 6  # HITS iterations (tolerance=0 => exactly HITS_K steps)
+
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the bipartite customer->supplier graph
+    (customers are pure hubs, suppliers pure authorities)."""
+    from graph_data_science_spark.operators.hits import hits
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    res = hits(g, hits_iterations=HITS_K, tolerance=0.0)
+    return res.scores.select(
+        "vid", F.round("hub", 5).alias("hub"), F.round("authority", 5).alias("authority")
+    )
+
+
+def _hits_oracle_sql() -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+    ]
+    for k in range(1, HITS_K + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+            SELECT n.vid, COALESCE(x.s, 0) AS araw, p.hub AS hub
+            FROM nodes n JOIN s{k - 1} p ON p.vid = n.vid LEFT JOIN (
+                SELECT e.dst AS vid, SUM(p2.hub) AS s
+                FROM e JOIN s{k - 1} p2 ON p2.vid = e.src GROUP BY e.dst
+            ) x ON x.vid = n.vid
+        )""")
+        ctes.append(f"""an{k} AS MATERIALIZED (
+            SELECT vid, araw / (SELECT CASE WHEN sqrt(SUM(araw * araw)) = 0
+                                THEN 1.0 ELSE sqrt(SUM(araw * araw)) END
+                                FROM ar{k}) AS auth, hub
+            FROM ar{k}
+        )""")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+            SELECT n.vid, COALESCE(x.s, 0) AS hraw, a.auth AS auth
+            FROM nodes n JOIN an{k} a ON a.vid = n.vid LEFT JOIN (
+                SELECT e.src AS vid, SUM(a2.auth) AS s
+                FROM e JOIN an{k} a2 ON a2.vid = e.dst GROUP BY e.src
+            ) x ON x.vid = n.vid
+        )""")
+        ctes.append(f"""s{k} AS MATERIALIZED (
+            SELECT vid, hraw / (SELECT CASE WHEN sqrt(SUM(hraw * hraw)) = 0
+                                THEN 1.0 ELSE sqrt(SUM(hraw * hraw)) END
+                                FROM hr{k}) AS hub, auth
+            FROM hr{k}
+        )""")
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, ROUND(hub, 5)::DOUBLE AS hub, "
+        f"ROUND(auth, 5)::DOUBLE AS authority FROM s{HITS_K}"
+    )
+
+
+KCORE_UNROLLED = 10  # h-operator rounds mirrored in the oracle
+
+
+def _q_kcore(spark, sf_dir):
+    """K-core decomposition (distributed h-operator, converges to exact
+    coreness) on the undirected customer-supplier slice."""
+    from graph_data_science_spark.operators.kcore import k_core_decomposition
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _cs_edges_small(spark, sf_dir), orientation=Orientation.UNDIRECTED
+    )
+    res = k_core_decomposition(g, max_iterations=KCORE_UNROLLED)
+    assert res.did_converge, "kcore did not converge - raise KCORE_UNROLLED"
+    return res.cores.select("vid", "core")
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled h-operator: c0 = degree; c_{k}(v) = min(c_{k-1}(v),
+    h-index of neighbor bounds). Monotone non-increasing, so extra rounds
+    past convergence are no-ops — the unroll only needs to be >= the
+    measured convergence round count (asserted on the Spark side)."""
+    K = KCORE_UNROLLED
+    ctes = [
+        f"e0 AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) WHERE src <> dst)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM eu UNION SELECT dst FROM eu)",
+        "c0 AS MATERIALIZED (SELECT n.vid, COALESCE(d.deg, 0) AS c FROM nodes n "
+        "LEFT JOIN (SELECT src, count(*) AS deg FROM eu GROUP BY src) d ON d.src = n.vid)",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+            SELECT p.vid, LEAST(p.c, COALESCE(h.h, p.c)) AS c
+            FROM c{k - 1} p LEFT JOIN (
+                SELECT src AS vid, MAX(LEAST(rn, nc)) AS h FROM (
+                    SELECT eu.src, cb.c AS nc,
+                           row_number() OVER (PARTITION BY eu.src
+                                              ORDER BY cb.c DESC) AS rn
+                    FROM eu JOIN c{k - 1} cb ON cb.vid = eu.dst
+                ) GROUP BY src
+            ) h ON h.vid = p.vid
+        )""")
+    return f"WITH {','.join(ctes)} SELECT vid, c AS core FROM c{K}"
+
+
+_KM_N = 256   # kmeans: embeddings vec_id < 256
+_KM_K = 4     # clusters; seed centroids = vectors of vec_id 0..3
+_KM_ITERS = 3
+
+
+def _q_kmeans(spark, sf_dir):
+    """Lloyd k-means with explicit seed centroids (the reference's
+    seedCentroids option) — both engines start from the vectors of
+    vec_id 0..3 and run _KM_ITERS full iterations (delta_threshold=0)."""
+    from graph_data_science_spark.operators.kmeans import kmeans
+
+    vecs = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _KM_N)
+    init = [
+        list(r["embedding"])
+        for r in vecs.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+    res = kmeans(
+        vecs.select(F.col("vec_id").alias("vid"), "embedding"), "embedding",
+        max_iterations=_KM_ITERS, delta_threshold=0.0, initial_centroids=init,
+    )
+    return res.assignments.select(
+        "vid", "community", F.round("distance_from_centroid", 4).alias("distance")
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd: assignment = argmin squared distance (ties to the
+    lower cluster index, Spark's strict-< scan order), update = per-pos
+    mean; clusters that lose all members keep their previous centroid.
+    Distances via dot-product expansion over DOUBLE-cast vectors."""
+    d2 = (
+        "(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, ct.vec) "
+        "+ list_dot_product(ct.vec, ct.vec))"
+    )
+    ctes = [
+        f"emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id < {_KM_N})",
+        f"ct0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS c, "
+        f"embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < {_KM_K})",
+        "pos_x AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) AS pos, "
+        "unnest(v) AS x FROM emb)",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+            SELECT vec_id, c FROM (
+                SELECT e.vec_id, ct.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, ct.c) AS rn
+                FROM emb e CROSS JOIN ct{i - 1} ct
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""ct{i} AS MATERIALIZED (
+            SELECT p.c, COALESCE(nv.vec, p.vec) AS vec
+            FROM ct{i - 1} p LEFT JOIN (
+                SELECT a.c, list(m ORDER BY pos) AS vec FROM (
+                    SELECT a.c, t.pos, avg(t.x) AS m
+                    FROM a{i} a JOIN pos_x t USING (vec_id)
+                    GROUP BY a.c, t.pos
+                ) a GROUP BY a.c
+            ) nv ON nv.c = p.c
+        )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT a.vec_id AS vid, CAST(a.c AS INT) AS community,
+           ROUND(sqrt(greatest({d2}, 0)), 4)::DOUBLE AS distance
+    FROM a{_KM_ITERS} a JOIN emb e ON e.vec_id = a.vec_id
+                        JOIN ct{_KM_ITERS} ct ON ct.c = a.c
+    """
+
+
+_FRP_DIM = 16
+_FRP_SEED = 11
+
+
+def _q_fastrp(spark, sf_dir):
+    """fastRP embeddings (very-sparse random projection + two neighbor-
+    mean/normalize iterations, weights [0,1,1]) over the deterministic
+    2-out ring on embeddings vec_ids, with the engine-portable md5 coin
+    family so the oracle replays IDENTICAL base vectors."""
+    from graph_data_science_spark.operators.fastrp import fast_rp
+
+    ids = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _HGNN_N)
+        .select(F.col("vec_id").alias("vid"))
+    )
+    edges = ids.select(
+        F.col("vid").alias("src"), ((F.col("vid") + 1) % _HGNN_N).alias("dst")
+    ).unionByName(
+        ids.select(F.col("vid").alias("src"), ((F.col("vid") + 7) % _HGNN_N).alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    g = Graph.from_edges(edges)
+    emb = fast_rp(g, embedding_dimension=_FRP_DIM, seed=_FRP_SEED, coin="md5")
+    # + 0.0 canonicalizes -0.0 -> +0.0 (IEEE); DuckDB's parallel SUM
+    # returns -0.0 or +0.0 depending on scan order, and the driver's
+    # value hash formats them differently ("-0" vs "0")
+    return emb.select("vid", F.posexplode("embedding").alias("pos", "val")).select(
+        "vid", "pos", (F.round("val", 5) + F.lit(0.0)).alias("val")
+    )
+
+
+def _fastrp_oracle_sql() -> str:
+    import math
+
+    val = repr(math.sqrt(3) / math.sqrt(_FRP_DIM))
+    n = _HGNN_N
+    md5h = (
+        f"('0x' || substr(md5('{_FRP_SEED}#' || vid::VARCHAR || '#' || pos::VARCHAR), "
+        f"1, 8))::BIGINT % 6"
+    )
+    ctes = [
+        f"ids AS MATERIALIZED (SELECT vec_id AS vid FROM embeddings WHERE vec_id < {n})",
+        f"e AS MATERIALIZED (SELECT vid AS src, (vid + 1) % {n} AS dst FROM ids "
+        f"UNION ALL SELECT vid, (vid + 7) % {n} FROM ids)",
+        f"""base AS MATERIALIZED (
+            SELECT vid, pos,
+                   CASE {md5h} WHEN 0 THEN {val} WHEN 1 THEN -{val} ELSE 0.0 END AS x
+            FROM ids CROSS JOIN (SELECT unnest(generate_series(0, {_FRP_DIM - 1})) AS pos) j
+        )""",
+        """b0 AS MATERIALIZED (
+            SELECT vid, pos, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x
+            FROM (SELECT vid, pos, x,
+                         sqrt(SUM(x * x) OVER (PARTITION BY vid)) AS nrm FROM base)
+        )""",
+    ]
+    prev = "b0"
+    for it in (1, 2):
+        ctes.append(f"""g{it} AS MATERIALIZED (
+            SELECT e.src AS vid, b.pos, SUM(b.x) / COUNT(*) AS x
+            FROM e JOIN {prev} b ON b.vid = e.dst GROUP BY 1, 2
+        )""")
+        ctes.append(f"""v{it} AS MATERIALIZED (
+            SELECT vid, pos, CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x
+            FROM (SELECT vid, pos, x,
+                         sqrt(SUM(x * x) OVER (PARTITION BY vid)) AS nrm FROM g{it})
+        )""")
+        prev = f"v{it}"
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT v1.vid, v1.pos, (ROUND(v1.x + v2.x, 5) + 0.0)::DOUBLE AS val
+    FROM v1 JOIN v2 ON v2.vid = v1.vid AND v2.pos = v1.pos
+    """
+
+
+def _q_article_rank(spark, sf_dir):
+    """ArticleRank (PageRank with denominator degree + averageDegree) on
+    the weighted-ignored customer->supplier graph, PR_UNROLLED updates."""
+    from graph_data_science_spark.operators.pagerank import article_rank
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    res = article_rank(g, tolerance=0, max_iterations=PR_MAX_ITERATIONS,
+                       stats_interval=5)
+    return res.scores.select("vid", F.round("score", 5).alias("score"))
+
+
+def _article_rank_oracle_sql() -> str:
+    """PageRank unroll with r/(deg + avgDeg) contributions; avgDeg =
+    edge_count / node_count (zero-out-degree nodes included) — an exact
+    integer ratio in both engines."""
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "avgdeg AS MATERIALIZED (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM e) "
+        "/ (SELECT count(*) FROM nodes) AS a)",
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS degree "
+        "FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, 0.15 AS score FROM nodes)",
+    ]
+    for k in range(1, PR_UNROLLED + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.vid, 0.15 + 0.85 * COALESCE(s.inflow, 0) AS score "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS vid, SUM(r.score / (d.degree + (SELECT a FROM avgdeg))) AS inflow "
+            f"FROM e JOIN r{k - 1} r ON r.vid = e.src JOIN deg d ON d.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = n.vid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid, ROUND(score, 5)::DOUBLE AS score FROM r{PR_UNROLLED}"
+    )
+
+
+_KNN_BOUND = 300  # brute-force kNN slice (every node is a query)
+
+
+def _q_knn(spark, sf_dir):
+    """gds.knn exact path: every node is a query, top-5 cosine neighbors
+    (quadratic — bounded slice; the LSH path is ann_lsh_topk)."""
+    from graph_data_science_spark.operators.similarity import knn_node_properties
+
+    vecs = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KNN_BOUND)
+        .select(F.col("vec_id").alias("vid"), "embedding")
+    )
+    return knn_node_properties(vecs, "embedding", k=5, exact=True)
+
+
+def _knn_oracle_sql() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_KNN_BOUND}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.embedding)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))) AS sim
+        FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.vec_id < {_KNN_BOUND}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4)::DOUBLE AS cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+def _q_spanning_tree(spark, sf_dir):
+    """gds.spanningTree (Boruvka forest + BFS rooting) on the undirected
+    4-level tree: the spanning tree of a tree is the tree itself, so the
+    oracle is the edge table's own parent map, restricted to the start
+    node's component (the smallest region's subtree)."""
+    from graph_data_science_spark.operators.spanningtree import spanning_tree
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _tree_edges(spark, sf_dir)
+    root = edges.filter(F.col("src") >= 1_000_000).agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    res = spanning_tree(g, start_node=int(root))
+    return res.tree.select(
+        "vid",
+        F.coalesce("parent", F.lit(-1)).alias("parent"),
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
+    )
+
+
+def _spanning_tree_oracle_sql() -> str:
+    inner = f"""
+        {_TREE_SQL},
+        root AS (SELECT MIN(src) AS r FROM te WHERE src >= 1000000),
+        allrows AS (
+            SELECT te.dst AS vid, te.src AS parent FROM te
+            UNION ALL
+            SELECT r, NULL FROM root
+        )
+        SELECT vid, parent FROM allrows
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    walk(vid) AS (
+        SELECT vid FROM base WHERE parent IS NULL
+        UNION
+        SELECT b.vid FROM walk w JOIN base b ON b.parent = w.vid
+    )
+    SELECT b.vid, COALESCE(b.parent, -1) AS parent,
+           (CASE WHEN b.parent IS NULL THEN 0.0 ELSE 1.0 END)::DOUBLE AS weight
+    FROM base b JOIN (SELECT DISTINCT vid FROM walk) w ON w.vid = b.vid
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_pagerank": _q_pagerank,
@@ -939,6 +1500,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hashgnn": _q_hashgnn,
         "graph_longest_path": _q_longest_path,
         "graph_all_shortest_paths": _q_all_shortest_paths,
+        "graph_node_similarity": _q_node_similarity,
+        "graph_closeness": _q_closeness,
+        "graph_harmonic": _q_harmonic,
+        "graph_scc": _q_scc,
+        "graph_eigenvector": _q_eigenvector,
+        "graph_hits": _q_hits,
+        "graph_kcore": _q_kcore,
+        "graph_kmeans": _q_kmeans,
+        "graph_fastrp": _q_fastrp,
+        "graph_article_rank": _q_article_rank,
+        "graph_knn": _q_knn,
+        "graph_spanning_tree": _q_spanning_tree,
     }
 
 
@@ -1510,6 +2083,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_longest_path": _longest_path_oracle_sql(),
         "graph_all_shortest_paths": _asp_oracle_sql(),
         "graph_celf": _celf_oracle_sql(),
+        "graph_node_similarity": _node_similarity_oracle_sql(),
+        "graph_closeness": _pivot_centrality_oracle_sql("closeness"),
+        "graph_harmonic": _pivot_centrality_oracle_sql("harmonic"),
+        "graph_scc": _scc_oracle_sql(),
+        "graph_eigenvector": _eigenvector_oracle_sql(),
+        "graph_hits": _hits_oracle_sql(),
+        "graph_kcore": _kcore_oracle_sql(),
+        "graph_kmeans": _kmeans_oracle_sql(),
+        "graph_fastrp": _fastrp_oracle_sql(),
+        "graph_article_rank": _article_rank_oracle_sql(),
+        "graph_knn": _knn_oracle_sql(),
+        "graph_spanning_tree": _spanning_tree_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -122,7 +122,11 @@ def main():
     t_total = time.time()
     pr_sql = bench_pagerank(spark, "sql")
     pr_csr = bench_pagerank(spark, "csr")
-    queries = bench_queries(spark)
+    # BENCH_SKIP_QUERIES=1: pagerank-only run, used for the one-size-up
+    # column (BENCH_NODES=1000000) where the sf-dir query subset would
+    # just repeat the sf0.1 numbers
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES", "0") == "1"
+    queries = {} if skip_queries else bench_queries(spark)
     total = round(time.time() - t_total, 3)
     result = {
         "metric": "pagerank_sql_iterate_sec",

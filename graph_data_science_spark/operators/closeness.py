@@ -127,11 +127,15 @@ class CentralitySample:
 def harmonic_centrality(
     graph: Graph, sample_size: int = 32, seed: int = 42,
     max_iterations: int = 100, engine: PregelEngine | None = None,
+    pivots: list[int] | None = None,
 ) -> CentralitySample:
     """Sampled harmonic centrality, normalized by (n-1) like the
-    reference's HarmonicCentrality (mean of inverse distances)."""
-    n = graph.node_count()
-    pivots = _sample_pivots(graph, min(sample_size, n), seed)
+    reference's HarmonicCentrality (mean of inverse distances).
+    `pivots` overrides the hash sample with an explicit pivot set
+    (deterministic across engines — the oracle-gated configuration)."""
+    if pivots is None:
+        n = graph.node_count()
+        pivots = _sample_pivots(graph, min(sample_size, n), seed)
     k = len(pivots)
     d = multi_source_hop_distances(graph, pivots, max_iterations, engine)
     inv_sum = F.aggregate(
@@ -147,11 +151,14 @@ def harmonic_centrality(
 def closeness_centrality(
     graph: Graph, sample_size: int = 32, seed: int = 42,
     max_iterations: int = 100, engine: PregelEngine | None = None,
+    pivots: list[int] | None = None,
 ) -> CentralitySample:
     """Sampled closeness: reachable_count / Σ d over reachable pivots
-    (Wasserman-Faust component correction applied within the sample)."""
-    n = graph.node_count()
-    pivots = _sample_pivots(graph, min(sample_size, n), seed)
+    (Wasserman-Faust component correction applied within the sample).
+    `pivots` overrides the hash sample with an explicit pivot set."""
+    if pivots is None:
+        n = graph.node_count()
+        pivots = _sample_pivots(graph, min(sample_size, n), seed)
     d = multi_source_hop_distances(graph, pivots, max_iterations, engine)
     finite = F.filter(F.col("dists"), lambda x: (x > 0) & (x != _INF))
     total = F.aggregate(finite, F.lit(0.0), lambda acc, x: acc + x)

@@ -15,14 +15,14 @@ weights), extended with PARENT tracking: each message carries its sender,
 and the min-combine picks (cost, parent) lexicographically — the smallest
 parent id among optimal predecessors, making the shortest-path TREE
 deterministic and partition-invariant. Path reconstruction then walks the
-parent pointers backward in a driver loop of at most `ran_iterations`
-rounds (the walk is bounded by the same hop count the fixpoint needed),
-entirely with joins — one hash join per round on the shrinking active
-set, no driver-side row data. At 10^9 nodes the parent table is a
-hash-partitioned DataFrame and each round touches only still-walking
-targets; a pointer-doubling variant (O(log n) rounds, parent(2k) =
-parent(parent(k)) with array splicing) is the documented upgrade if
-diameters get deep.
+parent pointers backward entirely with joins — one hash join per round
+on the shrinking active set, no driver-side row data. At 10^9 nodes the
+parent table is a hash-partitioned DataFrame and each round touches only
+still-walking targets. Shallow walks run the linear one-hop-per-round
+mode; deep walks (> _DOUBLING_THRESHOLD hops) switch to POINTER
+DOUBLING (parent(2k) = parent(parent(k)) with array splicing), so the
+round count is O(log diameter) — see _reconstruct for the memory
+trade-off.
 """
 
 from __future__ import annotations
@@ -113,6 +113,9 @@ def _parent_fixpoint(
     return result.state, result.ran_iterations, result.did_converge, result.metrics
 
 
+_DOUBLING_THRESHOLD = 16  # walks deeper than this use pointer doubling
+
+
 def _reconstruct(
     parents: DataFrame,  # (vid, dist, parent)
     source: int | None,
@@ -122,7 +125,19 @@ def _reconstruct(
     """Backward parent-pointer walk entirely with joins. Arrays build
     from the target back to the source, then flip. source=None derives
     each path's source from its own first node (multi-source trees,
-    e.g. dag.longestPath)."""
+    e.g. dag.longestPath).
+
+    Shallow walks (max_rounds <= _DOUBLING_THRESHOLD) step one parent
+    hop per round — O(depth) tiny joins on the shrinking active set.
+    Deep walks switch to POINTER DOUBLING: a jump table J_k holds, per
+    node, the 2^k-hop ancestor plus the node segment traversed to reach
+    it (parent(2k) = parent(parent(k)) with array splicing); each round
+    advances every active walk 2^k hops and squares J, so a diameter-D
+    chain finishes in O(log D) rounds instead of O(D). Cost: J carries
+    O(n * min(2^k, D)) segment entries — the same order as the walk
+    output itself when most nodes are targets (allShortestPaths), and
+    bounded by n*D in the worst case; the linear walk remains the
+    low-memory mode for shallow reconstructions."""
     ptab = parents.select(
         F.col("vid").alias("cur"), F.col("dist").alias("cur_dist"), "parent"
     ).persist()
@@ -140,24 +155,71 @@ def _reconstruct(
     )
     done = walk.filter(F.col("cur_next").isNull())
     active = walk.filter(F.col("cur_next").isNotNull())
-    for _ in range(max_rounds + 1):
-        if active.rdd.isEmpty():
-            break
-        stepped = (
-            active.join(ptab, active["cur_next"] == ptab["cur"])
-            .select(
-                "target",
-                "total_cost",
-                F.col("parent").alias("cur_next"),
-                F.concat("node_ids_rev", F.array(F.col("cur"))).alias("node_ids_rev"),
-                F.concat("costs_rev", F.array(F.col("cur_dist"))).alias("costs_rev"),
+    if max_rounds <= _DOUBLING_THRESHOLD:
+        for _ in range(max_rounds + 1):
+            if active.rdd.isEmpty():
+                break
+            stepped = (
+                active.join(ptab, active["cur_next"] == ptab["cur"])
+                .select(
+                    "target",
+                    "total_cost",
+                    F.col("parent").alias("cur_next"),
+                    F.concat("node_ids_rev", F.array(F.col("cur"))).alias("node_ids_rev"),
+                    F.concat("costs_rev", F.array(F.col("cur_dist"))).alias("costs_rev"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        done = done.unionByName(stepped.filter(F.col("cur_next").isNull())).localCheckpoint(
-            eager=True
-        )
-        active = stepped.filter(F.col("cur_next").isNotNull())
+            done = done.unionByName(stepped.filter(F.col("cur_next").isNull())).localCheckpoint(
+                eager=True
+            )
+            active = stepped.filter(F.col("cur_next").isNotNull())
+    else:
+        import math
+
+        jump = ptab.select(
+            "cur",
+            F.col("parent").alias("nxt"),
+            F.array(F.col("cur")).alias("seg_nodes"),
+            F.array(F.col("cur_dist")).alias("seg_costs"),
+        ).localCheckpoint(eager=True)
+        rounds = int(math.ceil(math.log2(max(max_rounds, 2)))) + 2
+        for _ in range(rounds):
+            if active.rdd.isEmpty():
+                break
+            stepped = (
+                active.join(jump, active["cur_next"] == jump["cur"])
+                .select(
+                    "target",
+                    "total_cost",
+                    F.col("nxt").alias("cur_next"),
+                    F.concat("node_ids_rev", "seg_nodes").alias("node_ids_rev"),
+                    F.concat("costs_rev", "seg_costs").alias("seg_costs_tmp"),
+                )
+                .withColumnRenamed("seg_costs_tmp", "costs_rev")
+                .localCheckpoint(eager=True)
+            )
+            done = done.unionByName(stepped.filter(F.col("cur_next").isNull())).localCheckpoint(
+                eager=True
+            )
+            active = stepped.filter(F.col("cur_next").isNotNull())
+            # square the jump table: 2^k -> 2^(k+1) hops per row
+            a, b = jump.alias("a"), jump.alias("b")
+            jump = (
+                a.join(b, F.col("a.nxt") == F.col("b.cur"), "left")
+                .select(
+                    F.col("a.cur").alias("cur"),
+                    F.when(F.col("a.nxt").isNull(), F.lit(None).cast("long"))
+                    .otherwise(F.col("b.nxt")).alias("nxt"),
+                    F.when(F.col("a.nxt").isNull(), F.col("a.seg_nodes"))
+                    .otherwise(F.concat(F.col("a.seg_nodes"), F.col("b.seg_nodes")))
+                    .alias("seg_nodes"),
+                    F.when(F.col("a.nxt").isNull(), F.col("a.seg_costs"))
+                    .otherwise(F.concat(F.col("a.seg_costs"), F.col("b.seg_costs")))
+                    .alias("seg_costs"),
+                )
+                .localCheckpoint(eager=True)
+            )
     ptab.unpersist()
     src_col = (
         F.lit(source) if source is not None

@@ -40,14 +40,31 @@ from graph_data_science_spark.plans.graph import Graph
 SPARSITY = 3  # s in the paper: P(±) = 1/(2s) each
 
 
-def _base_vector(dim: int, seed: int) -> Column:
-    """Very-sparse random projection base vector for F.col('vid')."""
+def _md5_u32(*cols) -> Column:
+    """First 8 md5 hex chars of '#'-joined parts as a uint32 — identical
+    in DuckDB as ('0x' || substr(md5(...), 1, 8))::BIGINT (the same
+    engine-portable coin the CELF oracle replays)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _base_vector(dim: int, seed: int, coin: str = "xxhash64") -> Column:
+    """Very-sparse random projection base vector for F.col('vid').
+    coin="xxhash64" (pure-JVM fast path) or "md5" (engine-portable —
+    the DuckDB oracle replays identical coins)."""
     import math
 
     val = math.sqrt(SPARSITY) / math.sqrt(dim)
     comps = []
     for j in range(dim):
-        h = F.pmod(F.xxhash64(F.lit(seed), F.col("vid"), F.lit(j)), F.lit(2 * SPARSITY))
+        if coin == "md5":
+            h = F.pmod(
+                _md5_u32(F.lit(str(seed)), F.col("vid"), F.lit(str(j))),
+                F.lit(2 * SPARSITY),
+            )
+        else:
+            h = F.pmod(F.xxhash64(F.lit(seed), F.col("vid"), F.lit(j)), F.lit(2 * SPARSITY))
         comps.append(
             F.when(h == 0, F.lit(val)).when(h == 1, F.lit(-val)).otherwise(F.lit(0.0))
         )
@@ -71,11 +88,14 @@ def fast_rp(
     iteration_weights: list[float] | None = None,
     normalization_strength: float = 0.0,
     seed: int = 42,
+    coin: str = "xxhash64",
 ) -> DataFrame:
     """Returns (vid, embedding array<double>).
 
     iteration_weights defaults to [0.0, 1.0, 1.0] like the reference
     (first weight applies to the base vectors themselves).
+    coin: hash family for the sparse base vectors — "xxhash64" (default)
+    or "md5" (engine-portable, used by the DuckDB oracle).
     """
     if iteration_weights is None:
         iteration_weights = [0.0, 1.0, 1.0]
@@ -90,7 +110,9 @@ def fast_rp(
     # degree^normalization_strength scaling of the propagation
     deg = graph.degrees(direction="out")
 
-    cur = graph.nodes.select("vid", _l2_normalize(_base_vector(embedding_dimension, seed)).alias("vec"))
+    cur = graph.nodes.select(
+        "vid", _l2_normalize(_base_vector(embedding_dimension, seed, coin)).alias("vec")
+    )
     if normalization_strength != 0.0:
         scale = deg.select(
             "vid",

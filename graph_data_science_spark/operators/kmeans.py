@@ -47,11 +47,16 @@ def kmeans(
     delta_threshold: float = 0.05,
     seed: int = 42,
     id_col: str = "vid",
+    initial_centroids: list[list[float]] | None = None,
 ) -> KmeansResult:
     """Lloyd k-means on nodes[property_col] (array<numeric>).
 
     Converges when the fraction of nodes that switched cluster is
-    <= delta_threshold (reference deltaThreshold semantics)."""
+    <= delta_threshold (reference deltaThreshold semantics).
+    initial_centroids: explicit seed centroids (the reference's
+    seedCentroids option, KmeansBaseConfig) — overrides the hash-sampled
+    init; cluster i keeps the list index i, so results are deterministic
+    across engines (the oracle-gated configuration)."""
     if max_iterations < 1:
         raise ValueError("kmeans requires max_iterations >= 1")
     vecs = nodes.select(
@@ -59,11 +64,15 @@ def kmeans(
         F.col(property_col).cast("array<double>").alias("v"),
     ).persist()
     n = vecs.count()
-    k = min(k, n)
-    init_rows = (
-        vecs.orderBy(F.xxhash64(F.lit(seed), F.col("vid"))).limit(k).collect()
-    )
-    centroids = [list(r["v"]) for r in init_rows]
+    if initial_centroids is not None:
+        centroids = [list(map(float, c)) for c in initial_centroids]
+        k = len(centroids)
+    else:
+        k = min(k, n)
+        init_rows = (
+            vecs.orderBy(F.xxhash64(F.lit(seed), F.col("vid"))).limit(k).collect()
+        )
+        centroids = [list(r["v"]) for r in init_rows]
 
     prev_assign = None
     ran = 0

@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.plans.graph import Graph, Orientation
 from graph_data_science_spark.plans.lineage import cut_lineage
+from graph_data_science_spark.operators.louvain import _COLOR_CHAIN
 
 
 @dataclass
@@ -159,7 +160,7 @@ def _local_move(
     first_moves = -1
     for sweep in range(max_sweeps):
         pre = assign
-        for col_id in color_list:
+        for ci, col_id in enumerate(color_list):
             movers = colors.filter(F.col("color") == col_id).select("vid")
             a_v = assign.select(F.col("vid").alias("v"), F.col("community").alias("c"))
             k_in = (
@@ -217,14 +218,17 @@ def _local_move(
                 & (F.col("c") < F.col("community"))
             )
             decided = best.filter(moved).select("vid", F.col("c").alias("new_community"))
-            # eager cut per color round: the next round references assign
-            # several times through joins + windows (same lineage-blowup
-            # reasoning as louvain._local_move)
-            assign = (
-                assign.join(decided, "vid", "left")
-                .select("vid", F.coalesce("new_community", "community").alias("community"))
-                .transform(cut_lineage)
+            # plan cut per color round (lineage-blowup reasoning in
+            # louvain._local_move): lazy RDD-boundary cut within a chain
+            # of _COLOR_CHAIN rounds, eager stats-reset cut at chain end —
+            # one materialization job per chain instead of per color
+            assign = assign.join(decided, "vid", "left").select(
+                "vid", F.coalesce("new_community", "community").alias("community")
             )
+            if (ci + 1) % _COLOR_CHAIN == 0 or ci == len(color_list) - 1:
+                assign = assign.transform(cut_lineage)
+            else:
+                assign = assign.localCheckpoint(eager=False)
         moves = (
             assign.join(
                 pre.select("vid", F.col("community").alias("prev_c")), "vid"

@@ -45,6 +45,10 @@ from pyspark.sql import functions as F
 from graph_data_science_spark.plans.graph import Graph, Orientation
 from graph_data_science_spark.plans.lineage import cut_lineage
 
+# color rounds chained lazily per materialization job; 3 bounds the
+# Catalyst size-stats growth at 4^3 per chain (see _local_move)
+_COLOR_CHAIN = 3
+
 
 @dataclass
 class LouvainResult:
@@ -143,9 +147,16 @@ def _local_move(
     iters = 0
     eps = 1e-12
     w_node = Window.partitionBy("vid")
+    # color-round chaining (the PregelEngine stats_interval trick): stay
+    # LAZY for _COLOR_CHAIN rounds via localCheckpoint(eager=False) — the
+    # plan is cut at an RDD boundary so the 4-reference fan-out per round
+    # grows a shared DAG, not a 4^rounds tree — then cut_lineage (eager,
+    # stats-reset) closes each chain before Catalyst's size-stats compound
+    # (the BigInteger blowup lineage.py documents). One materialization
+    # job per chain instead of one per color class; results identical.
     for it in range(max_iterations):
         pre_sweep = assign  # snapshot: revert target if this sweep lowers Q
-        for col_id in color_list:
+        for ci, col_id in enumerate(color_list):
             movers = colors.filter(F.col("color") == col_id).select("vid")
             a_dst = assign.select(F.col("vid").alias("dst"), F.col("community").alias("c"))
             # weight from each mover into each neighboring community
@@ -201,18 +212,19 @@ def _local_move(
                 "vid",
                 F.when(moved, F.col("c")).otherwise(F.col("community")).alias("new_community"),
             )
-            # Materialize per color round with an EAGER localCheckpoint:
-            # the next round references assign 4x through joins + windows,
-            # and every logical plan must be cut to a LogicalRDD here —
-            # persist() does NOT cut the logical plan (cache substitution
-            # happens after analysis), so chained persists sent
-            # CheckAnalysis into an exponentially-growing tree (measured:
-            # 130+ s of driver CPU inside TreeNode.foreachUp).
-            assign = (
-                assign.join(decided, "vid", "left")
-                .select("vid", F.coalesce("new_community", "community").alias("community"))
-                .transform(cut_lineage)
+            # Every round must cut the logical plan to a LogicalRDD —
+            # persist() does NOT cut it (cache substitution happens after
+            # analysis), so chained persists sent CheckAnalysis into an
+            # exponentially-growing tree (measured: 130+ s of driver CPU
+            # inside TreeNode.foreachUp). Lazy cut within a chain, eager
+            # stats-reset cut at chain end (see the loop-head comment).
+            assign = assign.join(decided, "vid", "left").select(
+                "vid", F.coalesce("new_community", "community").alias("community")
             )
+            if (ci + 1) % _COLOR_CHAIN == 0 or ci == len(color_list) - 1:
+                assign = assign.transform(cut_lineage)
+            else:
+                assign = assign.localCheckpoint(eager=False)
 
         # after a full sweep over all colors: modularity for convergence
         # (reference updateModularity after optimizeForColor)

@@ -152,8 +152,24 @@ def extract_features(
                 }
             )
 
-    # payload-size-aware spread: large blobs hash-scatter across tasks
-    spread = media.repartition(F.col("media_id"))
+    # payload-size-aware spread (a plain hash repartition skews task
+    # bytes when 1 KB and 1 GB blobs share a table): rank rows by
+    # descending payload size with the distributed two-phase index, then
+    # round-robin the rank across partitions — the P largest blobs land
+    # in P different tasks, the next P again, so per-task byte totals are
+    # near-balanced (LPT-style). One extra pass over the size column;
+    # payload bytes move only in the final exchange.
+    from graph_data_science_spark.plans.ranking import distributed_row_index
+
+    spark = media.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sized = media.withColumn("_negsz", -F.coalesce(F.length("payload"), F.lit(0)))
+    ranked = distributed_row_index(sized, ["_negsz", "media_id"], index_col="_szrank")
+    spread = (
+        ranked.withColumn("_bin", F.pmod(F.col("_szrank"), F.lit(n_part)))
+        .repartitionByRange(n_part, "_bin")
+        .drop("_negsz", "_szrank", "_bin")
+    )
     return spread.mapInPandas(extract, schema=out_schema)
 
 

@@ -32,10 +32,17 @@ Spark-first design (NOT the reference's shared-memory hogwild):
   (same family as Spark MLlib Word2Vec). Loss is the reference's
   -log sigmoid objective summed over all samples.
 
-Scale ceiling (documented, same as the reference's): the model is
-2 * n * dim floats and must fit in driver + executor memory — identical
-to the reference holding both HugeObjectArrays in heap. Past that you
-shard the model (parameter server), which neither engine does.
+Scale ceiling (documented AND guarded, same ceiling as the reference's):
+the model is 2 * n * dim float32 and must fit in driver + executor
+memory — identical to the reference holding both HugeObjectArrays in
+heap. `max_model_nodes` (default 2e6, ~2 GB of model at dim=128) raises
+a loud ValueError past the cap instead of silently OOM-ing a 1e9-node
+job; past that you shard the model (parameter server), which neither
+engine does — use fastRP / graphSage / hashGNN there (their state is
+sharded/reduced). The id map and frequency table are computed
+distributed (plans/ranking.distributed_row_index + an aggregated
+(row, cnt) pull), so driver traffic besides the model itself is one
+O(n)-row two-column frame, bounded by the same cap.
 Embeddings are NOT oracle-portable (seeded-random init + float SGD);
 correctness is asserted structurally (clique members embed closer than
 non-members) like the reference's own cosine tests.
@@ -139,11 +146,17 @@ def node2vec(
     random_seed: int = 42,
     batch_partitions: int | None = None,
     chunk_size: int = 256,
+    max_model_nodes: int = 2_000_000,
 ) -> Node2VecResult:
     """Full node2vec pipeline (Node2Vec.compute). Deterministic for a
     fixed (random_seed, batch_partitions): walks, subsampling and
     negative draws are hash-seeded; partition-local SGD uses a PRNG
-    seeded by (random_seed, partition, iteration)."""
+    seeded by (random_seed, partition, iteration).
+
+    max_model_nodes: hard cap on node count — the SGNS model
+    (2 * n * dim float32) is driver-resident and broadcast per epoch,
+    the same in-heap ceiling as the reference's HugeObjectArrays; past
+    the cap this raises loudly instead of OOM-ing mid-job."""
     from graph_data_science_spark.sources.sampling import biased_random_walks
 
     spark = graph.edges.sparkSession
@@ -162,24 +175,35 @@ def node2vec(
     n_pairs = pairs.count()
 
     # id -> dense row index (model rows); node order = sorted vids, same
-    # "stable id map" contract as the reference's toOriginalNodeId seeding
-    vids = np.array(
-        sorted(r["vid"] for r in graph.nodes.select("vid").collect()), dtype=np.int64
-    )
-    n = len(vids)
-    d = embedding_dimension
-    row_of = {int(v): i for i, v in enumerate(vids)}
+    # "stable id map" contract as the reference's toOriginalNodeId
+    # seeding, built with the distributed two-phase rank (no O(n) driver
+    # collect of raw ids, no Python dict)
+    from graph_data_science_spark.plans.ranking import distributed_row_index
 
-    # negative-sampling cumulative distribution over freq^exponent
-    freq_rows = (
-        walks.select(F.explode("path").alias("node"))
-        .groupBy("node")
+    idx_df = distributed_row_index(graph.nodes.select("vid"), ["vid"], index_col="row")
+    n = idx_df.count()
+    d = embedding_dimension
+    if n > max_model_nodes:
+        raise ValueError(
+            f"node2vec's SGNS model is driver-resident (2 * n * dim float32, "
+            f"broadcast per epoch — the reference's in-heap ceiling); got "
+            f"n={n} > max_model_nodes={max_model_nodes}. Raise the cap only "
+            f"with driver memory to match, or use fastRP / graphSage / "
+            f"hashGNN for beyond-driver-scale embeddings (sharded state)"
+        )
+
+    # negative-sampling cumulative distribution over freq^exponent —
+    # aggregated distributed to (row, cnt), vectorized into the dense array
+    freq_pdf = (
+        walks.select(F.explode("path").alias("vid"))
+        .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+        .join(idx_df, "vid")
+        .select("row", "cnt")
+        .toPandas()
     )
     freqs = np.zeros(n, dtype=np.float64)
-    for r in freq_rows:
-        freqs[row_of[int(r["node"])]] = float(r["cnt"])
+    freqs[freq_pdf["row"].to_numpy()] = freq_pdf["cnt"].to_numpy().astype(np.float64)
     neg_cum = np.cumsum(freqs ** negative_sampling_exponent)
     if neg_cum[-1] <= 0:
         neg_cum = np.cumsum(np.ones(n))
@@ -193,14 +217,13 @@ def node2vec(
 
     p = batch_partitions or spark.sparkContext.defaultParallelism
     # map pair endpoints to dense rows once, repartition once, reuse per epoch
-    idx_df = spark.createDataFrame(
-        pd.DataFrame({"node": vids, "row": np.arange(n, dtype=np.int64)})
-    )
     pairs_rows = (
-        pairs.join(F.broadcast(idx_df.withColumnRenamed("node", "center")), "center")
-        .withColumnRenamed("row", "c_row")
-        .join(F.broadcast(idx_df.withColumnRenamed("node", "context")), "context")
-        .withColumnRenamed("row", "x_row")
+        pairs.join(
+            F.broadcast(idx_df.select(F.col("vid").alias("center"),
+                                      F.col("row").alias("c_row"))), "center")
+        .join(
+            F.broadcast(idx_df.select(F.col("vid").alias("context"),
+                                      F.col("row").alias("x_row"))), "context")
         .select("c_row", "x_row")
         .repartition(p)
         .persist()
@@ -320,9 +343,11 @@ def node2vec(
 
     pairs_rows.unpersist()
     emb_pdf = pd.DataFrame(
-        {"vid": vids, "embedding": list(center.astype(float))}
+        {"row": np.arange(n, dtype=np.int64), "embedding": list(center.astype(float))}
     )
-    embeddings = spark.createDataFrame(emb_pdf).select(
-        "vid", F.col("embedding").cast("array<float>").alias("embedding")
+    embeddings = (
+        spark.createDataFrame(emb_pdf)
+        .join(idx_df, "row")
+        .select("vid", F.col("embedding").cast("array<float>").alias("embedding"))
     )
     return Node2VecResult(embeddings=embeddings, loss_per_iteration=losses)

@@ -254,11 +254,9 @@ def eigenvector(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "weight"
     )
     w = F.col("weight") if weighted else F.lit(1.0)
-    scratch: list[DataFrame] = []  # prior superstep's cached `raw`, freed per call
+    from graph_data_science_spark.plans.lineage import cut_lineage
 
     def step(state: DataFrame, s: int) -> DataFrame:
-        while scratch:
-            scratch.pop().unpersist()
         msgs = (
             state.select(F.col("vid").alias("e_src"), "rank")
             .join(edges_renamed, "e_src")
@@ -278,9 +276,11 @@ def eigenvector(
         # subquery would avoid the round-trip but deadlocks when the
         # engine materializes the persisted state — BroadcastExchange
         # inside an InMemoryRelation build; the collect is cheap and the
-        # reference does masterCompute on the driver too.)
-        raw = raw.persist()
-        scratch.append(raw)
+        # reference does masterCompute on the driver too.) cut_lineage
+        # instead of persist: the norm aggregate forces a materialization
+        # anyway, and the cut keeps the plan from growing 2^k between the
+        # engine's checkpoint truncations (the HITS lesson).
+        raw = cut_lineage(raw)
         norm = raw.agg(
             F.sqrt(F.sum(F.col("new_raw") * F.col("new_raw")))
         ).collect()[0][0] or 1.0

@@ -83,3 +83,23 @@ def test_yens_k1_equals_dijkstra(spark):
     y = yens(g, source=0, target=5, k=1).collect()
     d = dijkstra(g, source=0, targets=[5]).paths.collect()
     assert [tuple(r["node_ids"]) for r in y] == [tuple(r["node_ids"]) for r in d]
+
+
+def test_deep_chain_pointer_doubling(spark):
+    """A 60-hop chain forces the pointer-doubling reconstruction path
+    (max_rounds > _DOUBLING_THRESHOLD): the full path must come back in
+    order with per-hop cumulative costs."""
+    from graph_data_science_spark.operators.dijkstra import dijkstra
+
+    n = 61
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(edges)
+    res = dijkstra(g, source=0, targets=[n - 1], max_iterations=80, stats_interval=10)
+    assert res.did_converge
+    rows = res.paths.collect()
+    assert len(rows) == 1
+    assert list(rows[0]["node_ids"]) == list(range(n))
+    assert list(rows[0]["costs"]) == [float(i) for i in range(n)]
+    assert rows[0]["total_cost"] == float(n - 1)

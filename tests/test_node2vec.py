@@ -110,3 +110,14 @@ def test_node2vec_cluster_structure(spark):
     assert np.mean(intra) > np.mean(inter) + 0.2, (
         f"intra {np.mean(intra):.3f} vs inter {np.mean(inter):.3f}"
     )
+
+
+def test_node2vec_model_size_guard(spark):
+    """The SGNS model is driver-resident; past max_model_nodes the
+    operator must refuse loudly (not OOM a big job mid-flight)."""
+    import pytest
+
+    g = _two_cliques(spark)
+    with pytest.raises(ValueError, match="max_model_nodes"):
+        node2vec(g, embedding_dimension=8, walks_per_node=1, walk_length=3,
+                 max_model_nodes=4)

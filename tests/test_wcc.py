@@ -74,3 +74,30 @@ def test_isolated_node_is_own_component(spark):
     g = Graph.from_edges(edges, nodes=nodes)
     got = comp_dict(wcc(g))
     assert got == {0: 0, 1: 0, 9: 9}
+
+
+def test_star_contraction_chain_logarithmic(spark):
+    """A 10k-node chain needs ~10k min-propagation supersteps plain, but
+    O(log n) with star contraction — and the same fixed point."""
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(edges)
+    res = wcc(g, max_iterations=40, stats_interval=8, star_contraction=True)
+    assert res.did_converge, "star contraction should converge in O(log n)"
+    assert res.ran_iterations <= 32
+    comps = res.components.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+
+
+def test_star_contraction_same_components(spark):
+    """Same components with and without the shortcut on a mixed graph."""
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(30)] + [(100, 101, 1.0), (101, 102, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges)
+    plain = wcc(g, max_iterations=60, stats_interval=8).components
+    short = wcc(g, max_iterations=60, stats_interval=8, star_contraction=True).components
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, short.collect()))
