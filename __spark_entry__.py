@@ -1342,6 +1342,320 @@ def _fastrp_oracle_sql() -> str:
     """
 
 
+def _q_bfs(spark, sf_dir):
+    """gds.bfs hop distances from the min custkey over the undirected
+    customer-supplier slice (level semantics; unreachable rows dropped)."""
+    from graph_data_science_spark.operators.paths import bfs
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _cs_edges_small(spark, sf_dir)
+    src = edges.agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    res = bfs(g, [int(src)], max_iterations=SSSP_UNROLLED, stats_interval=5)
+    assert res.did_converge, "bfs did not converge - raise SSSP_UNROLLED"
+    return res.distances.filter(F.col("distance") < float("inf")).select(
+        "vid", F.col("distance").cast("double").alias("distance")
+    )
+
+
+def _bfs_oracle_sql() -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eu AS MATERIALIZED (SELECT src, dst, 1.0 AS weight FROM e "
+        "UNION ALL SELECT dst, src, 1.0 FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        "s AS MATERIALIZED (SELECT MIN(src) AS sid FROM e)",
+        "d0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = (SELECT sid FROM s) "
+        "THEN 0.0 ELSE 1e18 END AS d FROM nodes)",
+    ] + _relax_ctes(SSSP_UNROLLED)
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, d::DOUBLE AS distance FROM d{SSSP_UNROLLED} WHERE d < 1e17"
+    )
+
+
+def _lp_dag_edges(spark, sf_dir):
+    """The part co-occurrence DAG (same construction as graph_longest_path)."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .filter(F.col("p") < _LP_PART_BOUND)
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def _q_topo_sort(spark, sf_dir):
+    """gds.dag.topologicalSort with longest-path layering on the part
+    co-occurrence DAG: layer = longest HOP path from any source."""
+    from graph_data_science_spark.operators.paths import topological_sort
+
+    g = Graph.from_edges(_lp_dag_edges(spark, sf_dir))
+    return topological_sort(g).select("vid", F.col("layer").cast("long").alias("layer"))
+
+
+def _topo_sort_oracle_sql() -> str:
+    """Unrolled MAX-relaxation with unit weights on the DAG: layer(v) =
+    max over in-edges (layer(u) + 1), sources at 0."""
+    K = _LP_UNROLLED
+    ctes = [
+        "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        f"FROM lineitem WHERE l_partkey < {_LP_PART_BOUND})",
+        """e AS MATERIALIZED (
+            SELECT a.p AS src, b.p AS dst
+            FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+        """l0 AS MATERIALIZED (
+            SELECT vid, CASE WHEN vid NOT IN (SELECT dst FROM e)
+                             THEN 0 ELSE -1000000 END AS l
+            FROM nodes
+        )""",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+            SELECT p.vid, GREATEST(p.l, COALESCE(m.ml, -1000000)) AS l
+            FROM l{k - 1} p LEFT JOIN (
+                SELECT e.dst AS vid, MAX(s.l + 1) AS ml
+                FROM e JOIN l{k - 1} s ON s.vid = e.src
+                WHERE s.l >= 0 GROUP BY e.dst
+            ) m ON m.vid = p.vid
+        )""")
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, l::BIGINT AS layer FROM l{K}"
+    )
+
+
+def _q_dfs(spark, sf_dir):
+    """gds.dfs preorder from the smallest region root over the directed
+    4-level tree; neighbors visited in ascending id order."""
+    from graph_data_science_spark.operators.traversal import dfs
+
+    edges = _tree_edges(spark, sf_dir)
+    root = edges.filter(F.col("src") >= 1_000_000).agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges)
+    return dfs(g, int(root)).select("vid", "visit_order")
+
+
+def _dfs_oracle_sql() -> str:
+    """On a tree with ascending-sibling traversal, DFS preorder equals
+    the lexicographic order of root->node paths (prefix-first list
+    comparison — exactly DuckDB's list ordering)."""
+    inner = f"""
+        {_TREE_SQL},
+        root AS (SELECT MIN(src) AS r FROM te WHERE src >= 1000000),
+        allrows AS (
+            SELECT te.src AS src, te.dst AS dst FROM te
+        )
+        SELECT src, dst FROM allrows
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    rootv AS MATERIALIZED (SELECT MIN(src) AS r FROM base WHERE src >= 1000000),
+    walk(vid, path) AS (
+        SELECT r, [r] FROM rootv
+        UNION ALL
+        SELECT b.dst, list_append(w.path, b.dst)
+        FROM walk w JOIN base b ON b.src = w.vid
+    )
+    SELECT vid, row_number() OVER (ORDER BY path) - 1 AS visit_order FROM walk
+    """
+
+
+def _q_scale_minmax(spark, sf_dir):
+    """gds.scaleProperties (MinMax.java) over the degree scores of the
+    customer->supplier graph: (v - min) / (max - min)."""
+    from graph_data_science_spark.operators.scaling import apply_scaler
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    scores = degree_centrality(g).select("vid", "score")
+    return apply_scaler(scores, "score", "minmax").select(
+        "vid", F.round("score", 6).alias("score")
+    )
+
+
+def _scale_minmax_oracle_sql() -> str:
+    return f"""
+    WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
+    nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+    deg AS (
+        SELECT n.vid, COALESCE(d.c, 0.0) AS score
+        FROM nodes n LEFT JOIN
+             (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src) d
+        ON d.src = n.vid
+    ),
+    stats AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM deg)
+    SELECT vid, ROUND((score - (SELECT mn FROM stats))
+                      / ((SELECT mx FROM stats) - (SELECT mn FROM stats)), 6)::DOUBLE
+               AS score
+    FROM deg
+    """
+
+
+K1C_UNROLLED = 6  # coloring rounds mirrored in the oracle
+
+
+def _q_k1coloring(spark, sf_dir):
+    """gds.k1coloring on the undirected customer-supplier slice with the
+    engine-portable md5 init coin; the oracle replays the identical
+    color/validation rounds."""
+    from graph_data_science_spark.operators.k1coloring import k1_coloring
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _cs_edges_small(spark, sf_dir), orientation=Orientation.UNDIRECTED
+    )
+    res = k1_coloring(g, max_iterations=K1C_UNROLLED, init_coin="md5")
+    assert res.did_converge, "k1coloring did not converge - raise K1C_UNROLLED"
+    return res.colors.select("vid", "color")
+
+
+def _k1coloring_oracle_sql() -> str:
+    """Round-by-round replay: md5 init over 8 colors; per round, vids in
+    the conflict set take the smallest color not used by any neighbor
+    (list_min over the filtered 0..len series — same first-free rule as
+    the Spark expression), then the LARGER vid of each same-color edge
+    re-colors next round. Rounds past convergence are no-ops."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "eb AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) WHERE src <> dst)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM eb UNION SELECT dst FROM eb)",
+        "c0 AS MATERIALIZED (SELECT vid, "
+        "(('0x' || substr(md5('k1c#' || vid::VARCHAR), 1, 8))::BIGINT % 8) AS color "
+        "FROM nodes)",
+        """t0 AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c0 a ON a.vid = eb.src JOIN c0 b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""",
+    ]
+    for r in range(1, K1C_UNROLLED + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+            SELECT eb.src AS vid,
+                   list_sort(list(DISTINCT c.color)) AS nc
+            FROM eb JOIN t{r - 1} t ON t.vid = eb.src
+                    JOIN c{r - 1} c ON c.vid = eb.dst
+            GROUP BY eb.src
+        )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+            SELECT p.vid,
+                   COALESCE(
+                       (SELECT list_min(list_filter(
+                            generate_series(0, len(n.nc)),
+                            x -> NOT list_contains(n.nc, x)))
+                        FROM n{r} n WHERE n.vid = p.vid),
+                       p.color) AS color
+            FROM c{r - 1} p
+        )""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c{r} a ON a.vid = eb.src JOIN c{r} b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""")
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, color::BIGINT AS color FROM c{K1C_UNROLLED}"
+    )
+
+
+def _q_sllpa(spark, sf_dir):
+    """gds.sllpa (speaker-listener LPA, hash-deterministic label picks) —
+    rows-only: the per-iteration memory replay is not SQL-expressible."""
+    from graph_data_science_spark.operators.sllpa import sllpa
+
+    g = Graph.from_edges(_cs_edges_small(spark, sf_dir))
+    res = sllpa(g, max_iterations=5)
+    return res.communities.select(
+        "vid", F.col("community_ids").cast("array<bigint>").alias("community_ids")
+    )
+
+
+def _q_maxkcut(spark, sf_dir):
+    """gds.maxkcut (approx max-2-cut via color-class best moves) —
+    rows-only (iterative conflict-free moves are not SQL-expressible)."""
+    from graph_data_science_spark.operators.maxkcut import approx_max_k_cut
+
+    _nodes, edges = _geo_edges(spark, sf_dir)
+    g = Graph.from_edges(edges)
+    res = approx_max_k_cut(g, k=2, iterations=2)
+    return res.assignments.select("vid", "community")
+
+
+def _q_sample_rwr(spark, sf_dir):
+    """gds.graph.sample.rwr (random-walk-with-restart subgraph sample,
+    hash-deterministic walks) — rows-only: the sampled node set."""
+    from graph_data_science_spark.sources.sampling import sample_rwr
+
+    g = Graph.from_edges(_cs_edges_small(spark, sf_dir))
+    starts = g.nodes.filter(F.col("vid") < 8)
+    sub = sample_rwr(g, starts, walk_length=6, walks_per_node=3)
+    return sub.nodes.select("vid")
+
+
+def _q_node2vec_smoke(spark, sf_dir):
+    """node2vec smoke (rows-only): tiny SGNS run on the 2-out ring;
+    embeddings are seeded-random floats (documented non-portability), so
+    the gate checks shape — one row per node, the configured dimension."""
+    from graph_data_science_spark.operators.node2vec import node2vec
+
+    ids = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(F.col("vec_id").alias("vid"))
+    )
+    n = 100
+    edges = ids.select(
+        F.col("vid").alias("src"), ((F.col("vid") + 1) % n).alias("dst")
+    ).unionByName(
+        ids.select(F.col("vid").alias("src"), ((F.col("vid") + 7) % n).alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    g = Graph.from_edges(edges)
+    res = node2vec(
+        g, embedding_dimension=8, walks_per_node=2, walk_length=8,
+        window_size=4, iterations=1, batch_partitions=8,
+    )
+    return res.embeddings.select("vid", F.size("embedding").alias("dim"))
+
+
+def _q_graphsage_smoke(spark, sf_dir):
+    """graphSage smoke (rows-only): 2-epoch train on the ring with simple
+    derived features; checks the inductive plumbing end-to-end."""
+    from graph_data_science_spark.operators.graphsage import graphsage_train
+
+    ids = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(F.col("vec_id").alias("vid"))
+    )
+    n = 100
+    edges = ids.select(
+        F.col("vid").alias("src"), ((F.col("vid") + 1) % n).alias("dst")
+    ).unionByName(
+        ids.select(F.col("vid").alias("src"), ((F.col("vid") + 7) % n).alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    g = Graph.from_edges(edges)
+    feats = ids.select(
+        "vid",
+        F.array(
+            (F.col("vid") % 7).cast("double") / 7.0,
+            (F.col("vid") % 11).cast("double") / 11.0,
+            (F.col("vid") % 13).cast("double") / 13.0,
+        ).alias("feat"),
+    )
+    res = graphsage_train(
+        g, feats, embedding_dimension=4, sample_sizes=[5], epochs=2,
+        batch_size=64, seed=3,
+    )
+    return res.embeddings.select("vid", F.size("embedding").alias("dim"))
+
+
 def _q_article_rank(spark, sf_dir):
     """ArticleRank (PageRank with denominator degree + averageDegree) on
     the weighted-ignored customer->supplier graph, PR_UNROLLED updates."""
@@ -1512,6 +1826,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_article_rank": _q_article_rank,
         "graph_knn": _q_knn,
         "graph_spanning_tree": _q_spanning_tree,
+        "graph_bfs": _q_bfs,
+        "graph_topo_sort": _q_topo_sort,
+        "graph_dfs": _q_dfs,
+        "graph_scale_minmax": _q_scale_minmax,
+        "graph_k1coloring": _q_k1coloring,
+        # rows-only (no DuckDB oracle — documented non-SQL-expressible)
+        "graph_sllpa": _q_sllpa,
+        "graph_maxkcut": _q_maxkcut,
+        "graph_sample_rwr": _q_sample_rwr,
+        "graph_node2vec": _q_node2vec_smoke,
+        "graph_graphsage": _q_graphsage_smoke,
     }
 
 
@@ -2095,6 +2420,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_article_rank": _article_rank_oracle_sql(),
         "graph_knn": _knn_oracle_sql(),
         "graph_spanning_tree": _spanning_tree_oracle_sql(),
+        "graph_bfs": _bfs_oracle_sql(),
+        "graph_topo_sort": _topo_sort_oracle_sql(),
+        "graph_dfs": _dfs_oracle_sql(),
+        "graph_scale_minmax": _scale_minmax_oracle_sql(),
+        "graph_k1coloring": _k1coloring_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

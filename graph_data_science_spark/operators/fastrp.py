@@ -20,12 +20,12 @@ Spark-first formulation:
 Embedding dim d is bounded by what array columns handle comfortably
 (hundreds) — the reference defaults to 256.
 
-Scale note: the neighbor-mean uses collect_list + fold (no partial
-combine), so a hub of degree D buffers D×d doubles in one aggregation
-group — fine to ~10k degree at d=64. The 10^9-edge path is the CSR-block
-dense matmul (np: blocks @ vectors) on plans/csr.py, the same SpMV
-machinery PageRank uses with d-wide payloads; wire-up tracked for a
-later round.
+Scale note: the neighbor-mean is posexplode + per-(node, position) SUM —
+map-side combinable, so a degree-D hub reduces D candidates per shuffle
+partition instead of buffering a D-element vector list in one
+aggregation group; array reassembly is a bounded d-entry sort per node.
+Hub skew is therefore handled by Catalyst's partial aggregation, the
+same property the PageRank message combine relies on.
 """
 
 from __future__ import annotations
@@ -130,22 +130,27 @@ def fast_rp(
 
     state = cur.persist()
     for w in iteration_weights[1:]:
+        # neighbor mean per (node, position) — posexplode + sum is
+        # map-side combinable, so a degree-D hub reduces D candidates
+        # per partition instead of buffering a D-element vector list in
+        # one aggregation group (the hub-skew ceiling of the previous
+        # collect_list fold); the d-entry array reassembles per node via
+        # a bounded sort+slice
         nbr = state.select(F.col("vid").alias("dst"), F.col("vec").alias("nvec"))
-        gathered = (
+        per_pos = (
             edges.join(nbr, "dst")
-            .groupBy(F.col("src").alias("vid"))
+            .select(F.col("src").alias("vid"), F.posexplode("nvec").alias("pos", "x"))
+            .groupBy("vid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        gathered = (
+            per_pos.groupBy("vid")
             .agg(
-                F.aggregate(
-                    F.collect_list("nvec"), zero, lambda a, v: _vec_sum(a, v)
-                ).alias("sum_vec"),
-                F.count(F.lit(1)).alias("n"),
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("pm")
             )
-            .select(
-                "vid",
-                _l2_normalize(
-                    F.transform("sum_vec", lambda v: v / F.col("n"))
-                ).alias("vec"),
-            )
+            .select("vid", _l2_normalize(F.col("pm.m")).alias("vec"))
         )
         new_state = (
             graph.nodes.select("vid")

@@ -44,17 +44,21 @@ def _smallest_free(colors_arr):
     )[0]
 
 
-def k1_coloring(graph: Graph, max_iterations: int = 10) -> K1ColoringResult:
+def k1_coloring(graph: Graph, max_iterations: int = 10,
+                init_coin: str = "xxhash64") -> K1ColoringResult:
     edges = graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return color_edges(both, graph.nodes.select("vid"), max_iterations)
+    return color_edges(both, graph.nodes.select("vid"), max_iterations, init_coin)
 
 
-def color_edges(both: DataFrame, nodes: DataFrame, max_iterations: int = 10) -> K1ColoringResult:
+def color_edges(both: DataFrame, nodes: DataFrame, max_iterations: int = 10,
+                init_coin: str = "xxhash64") -> K1ColoringResult:
     """Coloring over a pre-built both-directions edge DataFrame (src, dst)
-    — the entry Louvain's local-move phase uses on each level graph."""
+    — the entry Louvain's local-move phase uses on each level graph.
+    init_coin="md5" makes the symmetry-breaking init engine-portable
+    (the DuckDB oracle replays identical colors round by round)."""
     both = both.select("src", "dst").persist()
     # Symmetry-breaking init: a deterministic hash spread over a few colors
     # (the reference starts all-zero and relies on thread races to break
@@ -66,8 +70,14 @@ def color_edges(both: DataFrame, nodes: DataFrame, max_iterations: int = 10) -> 
     # plan intact and chained rounds make analysis/stats-estimation cost
     # exponential (measured: Catalyst BigInt size estimates with millions of
     # bits on the uncut tree).
+    if init_coin == "md5":
+        from graph_data_science_spark.operators.influence import _md5_u32
+
+        init_color = F.pmod(_md5_u32(F.lit("k1c"), F.col("vid")), F.lit(8))
+    else:
+        init_color = F.pmod(F.xxhash64(F.col("vid")), F.lit(8))
     colors = nodes.select(
-        "vid", F.pmod(F.xxhash64(F.col("vid")), F.lit(8)).cast("long").alias("color")
+        "vid", init_color.cast("long").alias("color")
     ).transform(cut_lineage)
     # first round validates everyone: re-color one side of each conflict
     c_src0 = colors.select(F.col("vid").alias("src"), F.col("color").alias("c_src"))
