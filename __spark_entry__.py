@@ -286,16 +286,19 @@ def _q_conductance(spark, sf_dir):
 
 def _clique_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic community structure from the customer table: per
-    nation, a clique over the 12 smallest custkeys; consecutive nations
+    nation, a clique over the 6 smallest custkeys; consecutive nations
     bridged by one edge between their min custkeys. Louvain provably
-    recovers the cliques (bridges are single edges against dense
-    cliques), so the oracle is closed-form: community = min clique
-    member."""
+    recovers the cliques (each member has 5 intra-clique edges against a
+    single unit bridge), so the oracle is closed-form: community = min
+    clique member. (Clique size 6, not 12: a k-clique forces k color
+    classes in the k1-coloring sweep, and each color class is one
+    materialized round — half the cliques, half the gate wall, identical
+    recovery property.)"""
     cust = _read(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     sel = cust.select("c_custkey", "c_nationkey").withColumn(
         "rn", F.row_number().over(w)
-    ).filter(F.col("rn") <= 12)
+    ).filter(F.col("rn") <= 6)
     a = sel.select(F.col("c_nationkey").alias("n"), F.col("c_custkey").alias("src"))
     b = sel.select(F.col("c_nationkey").alias("n"), F.col("c_custkey").alias("dst"))
     clique = a.join(b, "n").filter(F.col("src") < F.col("dst")).select("src", "dst")
@@ -315,7 +318,7 @@ _CLIQUE_RING_SQL = """
                ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
         FROM customer
     ),
-    s AS (SELECT c_custkey, c_nationkey FROM sel WHERE rn <= 12)
+    s AS (SELECT c_custkey, c_nationkey FROM sel WHERE rn <= 6)
 """
 
 
@@ -331,7 +334,7 @@ def _q_louvain(spark, sf_dir):
 
 
 def _q_leiden(spark, sf_dir):
-    """Leiden on the same clique-ring as graph_louvain: cliques of 12 per
+    """Leiden on the same clique-ring as graph_louvain: cliques of 6 per
     nationkey, single bridges between consecutive min custkeys. Leiden
     provably recovers the cliques; community ids are normalized to the
     min member vid so the oracle is the same closed form as louvain's."""
@@ -1227,10 +1230,13 @@ def _kmeans_oracle_sql() -> str:
     """Unrolled Lloyd: assignment = argmin squared distance (ties to the
     lower cluster index, Spark's strict-< scan order), update = per-pos
     mean; clusters that lose all members keep their previous centroid.
-    Distances via dot-product expansion over DOUBLE-cast vectors."""
+    Distances use the SAME elementwise (a-b)^2 formulation as the engine
+    (kmeans._dist_sq) — the earlier dot-product expansion is algebraically
+    equal but not IEEE-identical, leaving argmin/rounding fragile on
+    near-ties; term-identical sums differ only by summation order."""
     d2 = (
-        "(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, ct.vec) "
-        "+ list_dot_product(ct.vec, ct.vec))"
+        "list_sum(list_transform(list_zip(e.v, ct.vec), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
     )
     ctes = [
         f"emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
@@ -1448,12 +1454,8 @@ def _dfs_oracle_sql() -> str:
     the lexicographic order of root->node paths (prefix-first list
     comparison — exactly DuckDB's list ordering)."""
     inner = f"""
-        {_TREE_SQL},
-        root AS (SELECT MIN(src) AS r FROM te WHERE src >= 1000000),
-        allrows AS (
-            SELECT te.src AS src, te.dst AS dst FROM te
-        )
-        SELECT src, dst FROM allrows
+        {_TREE_SQL}
+        SELECT src, dst FROM te
     """
     return f"""
     WITH RECURSIVE base AS MATERIALIZED ({inner}),

@@ -165,20 +165,25 @@ def link_prediction_train(
         )
 
     pool = int(needed * 2) + 8
-    cand = _candidates(pool).orderBy("_j").limit(needed)
+    # persist + count once per attempt: the candidate plan (hash gen +
+    # two rank joins + anti-join + orderBy/limit) is re-read by every
+    # downstream action otherwise
+    cand = _candidates(pool).orderBy("_j").limit(needed).persist()
+    n_cand = cand.count()
     for _ in range(3):
-        if cand.count() >= needed:
+        if n_cand >= needed:
             break
+        cand.unpersist()
         pool *= 4
-        cand = _candidates(pool).orderBy("_j").limit(needed)
-    else:
-        if cand.count() < needed:
-            import warnings
+        cand = _candidates(pool).orderBy("_j").limit(needed).persist()
+        n_cand = cand.count()
+    if n_cand < needed:
+        import warnings
 
-            warnings.warn(
-                f"negative sampling found only {cand.count()}/{needed} distinct "
-                "non-edges (graph too dense); training proceeds with fewer negatives"
-            )
+        warnings.warn(
+            f"negative sampling found only {n_cand}/{needed} distinct "
+            "non-edges (graph too dense); training proceeds with fewer negatives"
+        )
     hneg = F.pmod(F.abs(F.xxhash64(F.lit(seed + 3), F.col("src"), F.col("dst"))), F.lit(1000))
     neg = cand.withColumn("_test", hneg < F.lit(int(test_fraction * 1000)))
 
@@ -201,6 +206,7 @@ def link_prediction_train(
     tp = test.filter(F.col("y") == 1.0).count()
     featured.unpersist()
     ranked.unpersist()
+    cand.unpersist()
     return LinkPredictionModel(
         model=model, feature_steps=feature_steps, embeddings=embeddings,
         test_auc=auc, train_positives=n_pos - tp, test_positives=tp,

@@ -121,6 +121,7 @@ def _reconstruct(
     source: int | None,
     targets: DataFrame,  # (vid) reachable targets
     max_rounds: int,
+    doubling: bool | None = None,
 ) -> DataFrame:
     """Backward parent-pointer walk entirely with joins. Arrays build
     from the target back to the source, then flip. source=None derives
@@ -137,7 +138,15 @@ def _reconstruct(
     O(n * min(2^k, D)) segment entries — the same order as the walk
     output itself when most nodes are targets (allShortestPaths), and
     bounded by n*D in the worst case; the linear walk remains the
-    low-memory mode for shallow reconstructions."""
+    low-memory mode for shallow reconstructions. The jump table holds
+    only FINITE-distance rows (unreachable nodes can appear in no walk),
+    so a pruned search (astar) squares only the settled region.
+
+    doubling=None selects by max_rounds; callers that KNOW their walks
+    are shallow regardless of the conservative max_rounds bound (steiner
+    passes cumulative supersteps but each merge keeps chains short) pass
+    doubling=False — the linear walk costs O(actual depth) rounds, not
+    O(max_rounds), because it exits when the active set drains."""
     ptab = parents.select(
         F.col("vid").alias("cur"), F.col("dist").alias("cur_dist"), "parent"
     ).persist()
@@ -155,7 +164,9 @@ def _reconstruct(
     )
     done = walk.filter(F.col("cur_next").isNull())
     active = walk.filter(F.col("cur_next").isNotNull())
-    if max_rounds <= _DOUBLING_THRESHOLD:
+    if doubling is None:
+        doubling = max_rounds > _DOUBLING_THRESHOLD
+    if not doubling:
         for _ in range(max_rounds + 1):
             if active.rdd.isEmpty():
                 break
@@ -177,12 +188,16 @@ def _reconstruct(
     else:
         import math
 
-        jump = ptab.select(
-            "cur",
-            F.col("parent").alias("nxt"),
-            F.array(F.col("cur")).alias("seg_nodes"),
-            F.array(F.col("cur_dist")).alias("seg_costs"),
-        ).localCheckpoint(eager=True)
+        jump = (
+            ptab.filter(F.col("cur_dist") < float("inf"))
+            .select(
+                "cur",
+                F.col("parent").alias("nxt"),
+                F.array(F.col("cur")).alias("seg_nodes"),
+                F.array(F.col("cur_dist")).alias("seg_costs"),
+            )
+            .localCheckpoint(eager=True)
+        )
         rounds = int(math.ceil(math.log2(max(max_rounds, 2)))) + 2
         for _ in range(rounds):
             if active.rdd.isEmpty():

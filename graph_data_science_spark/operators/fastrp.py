@@ -40,15 +40,6 @@ from graph_data_science_spark.plans.graph import Graph
 SPARSITY = 3  # s in the paper: P(±) = 1/(2s) each
 
 
-def _md5_u32(*cols) -> Column:
-    """First 8 md5 hex chars of '#'-joined parts as a uint32 — identical
-    in DuckDB as ('0x' || substr(md5(...), 1, 8))::BIGINT (the same
-    engine-portable coin the CELF oracle replays)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("#", *cols)), 1, 8), 16, 10
-    ).cast("long")
-
-
 def _base_vector(dim: int, seed: int, coin: str = "xxhash64") -> Column:
     """Very-sparse random projection base vector for F.col('vid').
     coin="xxhash64" (pure-JVM fast path) or "md5" (engine-portable —
@@ -56,6 +47,8 @@ def _base_vector(dim: int, seed: int, coin: str = "xxhash64") -> Column:
     import math
 
     val = math.sqrt(SPARSITY) / math.sqrt(dim)
+    from graph_data_science_spark.operators.influence import _md5_u32
+
     comps = []
     for j in range(dim):
         if coin == "md5":

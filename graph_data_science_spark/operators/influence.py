@@ -136,12 +136,12 @@ def celf(
         if nxt.limit(1).count() == 0:
             break
         prev_member = member
-        member = (
-            member.unionByName(nxt.withColumn("origin", F.lit(False)))
-            .transform(cut_lineage)
-            .persist()
-        )
-        member.count()  # materialize the union before dropping its input
+        # cut_lineage materializes the union eagerly (checkpoint blocks),
+        # so the superseded cumulative frame can be dropped immediately —
+        # no extra persist/count copy on top of the checkpoint
+        member = member.unionByName(
+            nxt.withColumn("origin", F.lit(False))
+        ).transform(cut_lineage)
         prev_member.unpersist()
         frontier = nxt
 

@@ -157,18 +157,30 @@ def extract_features(
     # descending payload size with the distributed two-phase index, then
     # round-robin the rank across partitions — the P largest blobs land
     # in P different tasks, the next P again, so per-task byte totals are
-    # near-balanced (LPT-style). One extra pass over the size column;
-    # payload bytes move only in the final exchange.
+    # near-balanced (LPT-style). The ranking runs over the 2-column
+    # (media_id, size) projection ONLY — ranking the payload rows
+    # themselves would localCheckpoint + range-shuffle the blob bytes
+    # twice inside distributed_row_index; with the bin joined back,
+    # payload bytes move in exactly one exchange (the repartitionByRange).
     from graph_data_science_spark.plans.ranking import distributed_row_index
 
     spark = media.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sized = media.withColumn("_negsz", -F.coalesce(F.length("payload"), F.lit(0)))
-    ranked = distributed_row_index(sized, ["_negsz", "media_id"], index_col="_szrank")
+    sizes = media.select(
+        "media_id", (-F.coalesce(F.length("payload"), F.lit(0))).alias("_negsz")
+    )
+    ranked = distributed_row_index(sizes, ["_negsz", "media_id"], index_col="_szrank")
+    bins = ranked.select(
+        "media_id", F.pmod(F.col("_szrank"), F.lit(n_part)).alias("_bin")
+    )
+    # broadcast the (media_id, bin) map so the join leaves payload rows in
+    # place — payload bytes then move only in the range exchange. The map
+    # is 2 ints/row; past broadcast scale (~10^8 rows) drop the hint and
+    # accept one extra hash exchange of the payload.
     spread = (
-        ranked.withColumn("_bin", F.pmod(F.col("_szrank"), F.lit(n_part)))
+        media.join(F.broadcast(bins), "media_id")
         .repartitionByRange(n_part, "_bin")
-        .drop("_negsz", "_szrank", "_bin")
+        .drop("_bin")
     )
     return spread.mapInPandas(extract, schema=out_schema)
 

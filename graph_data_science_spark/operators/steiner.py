@@ -148,6 +148,10 @@ def steiner_tree(
         path_rows = _reconstruct(
             state.select("vid", "dist", "parent"), source, tdf,
             max_rounds=max(total_supersteps, 1),
+            # single-target walks to the NEAREST tree node stay shallow
+            # even when cumulative supersteps (the safe bound) is large;
+            # the linear walk exits at actual depth
+            doubling=False,
         ).collect()
         ids = list(path_rows[0]["node_ids"])
         costs = list(path_rows[0]["costs"])

@@ -51,10 +51,10 @@ def main():
                        "wall_sec": dt, "cpus": CPUS, "sf": SF_DIR}
                 f.write(json.dumps(rec) + "\n")
                 print(rec)
+    import statistics
+
     for name, ts in results.items():
-        ts_sorted = sorted(ts)
-        med = ts_sorted[len(ts_sorted) // 2]
-        print(f"{name}: legs={ts} median={med}")
+        print(f"{name}: legs={ts} median={statistics.median(ts)}")
 
 
 if __name__ == "__main__":
