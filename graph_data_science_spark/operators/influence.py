@@ -45,7 +45,9 @@ class CELFResult:
 def _md5_u32(*cols):
     """First 8 md5 hex chars of '#'-joined parts as a uint32 — identical
     in DuckDB as ('0x' || substr(md5(...), 1, 8))::BIGINT, which is what
-    makes the graph_celf oracle hash-exact."""
+    makes the graph_celf oracle hash-exact. Shared engine-portable coin:
+    fastrp (base vectors) and k1coloring (init colors) import it; any
+    change here must be mirrored in every oracle's SQL replay."""
     return F.conv(
         F.substring(F.md5(F.concat_ws("#", *cols)), 1, 8), 16, 10
     ).cast("long")

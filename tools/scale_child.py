@@ -33,9 +33,14 @@ def build_spark(spec: str):
 
         exec_mem_mb = int(os.environ.get("EXEC_MEM_MB", "12288"))
         # knobs for scaling experiments: SHUFFLE_PARTS overrides the
-        # partition count (default = total cores); EXTRA_CONF is a
-        # comma-separated k=v list applied verbatim
-        shuffle_parts = int(os.environ.get("SHUFFLE_PARTS", str(total)))
+        # partition count; EXTRA_CONF is a comma-separated k=v list
+        # applied verbatim. Default = 4 tasks per core: with one task
+        # per core every superstep barrier waits on the slowest single
+        # task (no overlap to hide a straggler), and on the shared host
+        # that is the dominant loss — measured r4 (scaling_runs.jsonl
+        # tag=r4_parts/r4_waves): lc4x2 steady throughput 4.3M -> 8.0M
+        # e·s/s and lc1x2 2.0M -> 2.9M moving from 1 to 4 waves.
+        shuffle_parts = int(os.environ.get("SHUFFLE_PARTS", str(4 * total)))
         builder = (
             SparkSession.builder.master(f"local-cluster[{n_exec},{per},{exec_mem_mb}]")
             .appName(f"scaling-{spec}")
