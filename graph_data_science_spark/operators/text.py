@@ -46,13 +46,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + combined score:
-      - mean_word_len: avg token length
-      - alpha_ratio: alphabetic chars / total chars
-      - stopword_ratio: english stopword hits / tokens
-      - score: product-style combination in [0, 1]
-    """
+def quality_columns(text_col: str = "text") -> dict:
+    """The quality feature expressions keyed by output column name —
+    pure Columns, reusable on batch AND streaming frames (the streaming
+    document pipeline composes these verbatim, so the batch DuckDB
+    oracle gates the exact expressions the stream runs)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
@@ -70,35 +68,51 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         * alpha
         * F.least(F.lit(1.0), stop_ratio * 5.0 + 0.5)
     )
-    return df.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(alpha, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
-    )
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": F.round(mean_wl, 4),
+        "alpha_ratio": F.round(alpha, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality": F.round(score, 4),
+    }
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language heuristic: argmax language by stopword
-    hit count; 'und' (undetermined) when no list scores > 0."""
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score:
+      - mean_word_len: avg token length
+      - alpha_ratio: alphabetic chars / total chars
+      - stopword_ratio: english stopword hits / tokens
+      - score: product-style combination in [0, 1]
+    """
+    cols = quality_columns(text_col)
+    return df.select("doc_id", *[expr.alias(name) for name, expr in cols.items()])
+
+
+def language_columns(text_col: str = "text") -> dict:
+    """pred_lang / stopword_hits expressions (pure Columns — see
+    quality_columns for the batch/streaming reuse contract)."""
     toks = tokens(F.col(text_col))
 
     def _hits(words):
         sw = F.array([F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
-    hit_cols = [_hits(words).alias(f"hits_{lang}") for lang, words in STOPWORDS.items()]
-    scored = df.select("doc_id", *hit_cols)
     langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    hits = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*[hits[l] for l in langs])
     pred = F.lit("und")
     # reverse order so earlier languages win ties
     for l in reversed(langs):
-        pred = F.when(F.col(f"hits_{l}") == best, F.lit(l)).otherwise(pred)
+        pred = F.when(hits[l] == best, F.lit(l)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("stopword_hits"))
+    return {"pred_lang": pred, "stopword_hits": best}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: argmax language by stopword
+    hit count; 'und' (undetermined) when no list scores > 0."""
+    cols = language_columns(text_col)
+    return df.select("doc_id", *[expr.alias(name) for name, expr in cols.items()])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
