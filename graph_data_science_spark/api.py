@@ -351,6 +351,38 @@ class Algo:
         df = _similarity.node_similarity(self.graph, **kw)
         return _mode(df, "similarity", {}, self.catalog, self.graph.name)
 
+    def knn(self, property_col: str, **kw) -> ModeResult:
+        """gds.knn over an array node property (NN-Descent)."""
+        df = _similarity.knn_nn_descent(self.graph.nodes, property_col, **kw)
+        return _mode(df, "cosine_sim", {}, self.catalog, self.graph.name)
+
+    def conductance(self, communities: DataFrame) -> ModeResult:
+        """gds.conductance per community over a (vid, community) frame."""
+        from graph_data_science_spark.operators.modularity import conductance as _cond
+
+        df = _cond(self.graph, communities)
+        return _mode(df, "conductance", {}, self.catalog, self.graph.name)
+
+    def sample_rwr(self, start_nodes: DataFrame, **kw) -> Graph:
+        """gds.graph.sample.rwr — random-walk-with-restart subgraph."""
+        from graph_data_science_spark.sources.sampling import sample_rwr as _rwr
+
+        return _rwr(self.graph, start_nodes, **kw)
+
+    def sample_cnarw(self, start_nodes: DataFrame, **kw) -> Graph:
+        """gds.graph.sample.cnarw — common-neighbor-aware walk sample."""
+        from graph_data_science_spark.sources.sampling import sample_cnarw as _cnarw
+
+        return _cnarw(self.graph, start_nodes, **kw)
+
+    def collapse_path(self, edge_chain: list[DataFrame], **kw) -> ModeResult:
+        """gds.collapsePath — direct edges from multi-hop path templates
+        (a list of edge DataFrames composed head-to-tail)."""
+        from graph_data_science_spark.operators.traversal import collapse_path as _cp
+
+        df = _cp(edge_chain, **kw)
+        return _mode(df, "src", {}, self.catalog, self.graph.name)
+
     def fast_rp(self, **kw) -> ModeResult:
         df = _fastrp.fast_rp(self.graph, **kw)
         return _mode(df, "embedding", {}, self.catalog, self.graph.name)

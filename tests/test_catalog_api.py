@@ -73,3 +73,43 @@ def test_write_mode(spark, tmp_path):
     out = str(tmp_path / "scores")
     algo.degree().write(out)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_facade_round4_methods(spark):
+    """knn / conductance / sample_rwr / sample_cnarw / collapse_path are
+    reachable through the gds.* facade with sane shapes."""
+    from graph_data_science_spark.api import Algo
+    from graph_data_science_spark.plans.graph import Graph
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long, weight double",
+    )
+    nodes = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(6)],
+        "vid long, vec array<double>",
+    )
+    g = Graph(nodes=nodes, edges=edges)
+    algo = Algo(g)
+
+    knn = algo.knn("vec", k=2, max_iterations=2).stream()
+    assert {"query_id", "neighbor_id", "cosine_sim", "rnk"} <= set(knn.columns)
+    assert knn.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 2
+
+    comm = nodes.select("vid", (F.col("vid") % 2).alias("community"))
+    cond = algo.conductance(comm).stream().collect()
+    assert len(cond) == 2
+
+    sub = algo.sample_rwr(nodes.filter(F.col("vid") == 0).select("vid"),
+                          walk_length=4, walks_per_node=2)
+    assert 0 < sub.nodes.count() <= 6
+
+    sub2 = algo.sample_cnarw(nodes.filter(F.col("vid") == 0).select("vid"),
+                             walk_length=4, walks_per_node=2)
+    assert 0 < sub2.nodes.count() <= 6
+
+    chain = [edges.select("src", "dst"), edges.select("src", "dst")]
+    two_hop = algo.collapse_path(chain).stream()
+    assert set(two_hop.columns) == {"src", "dst", "weight"}
+    assert two_hop.count() > 0
