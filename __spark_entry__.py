@@ -1567,16 +1567,87 @@ def _k1coloring_oracle_sql() -> str:
     )
 
 
-def _q_sllpa(spark, sf_dir):
-    """gds.sllpa (speaker-listener LPA, hash-deterministic label picks) —
-    rows-only: the per-iteration memory replay is not SQL-expressible."""
-    from graph_data_science_spark.operators.sllpa import sllpa
+_SLLPA_ITERS = 5
+_SLLPA_SEED = 42
 
-    g = Graph.from_edges(_cs_edges_small(spark, sf_dir))
-    res = sllpa(g, max_iterations=5)
-    return res.communities.select(
-        "vid", F.col("community_ids").cast("array<bigint>").alias("community_ids")
+
+def _q_sllpa(spark, sf_dir):
+    """gds.sllpa (speaker-listener LPA) with the md5 coin: each node's
+    label MEMORY is relational state — counts per (vid, label) with the
+    append iteration as the array-order key — so the DuckDB oracle
+    replays the spoken-label picks (cumulative-count walk), the
+    most-frequent-heard adoption, and the memory bumps round by round.
+    Output exploded to (vid, community_id) rows (>= 0.2 association)."""
+    from graph_data_science_spark.operators.sllpa import sllpa
+    from graph_data_science_spark.plans.graph import Orientation
+
+    g = Graph.from_edges(
+        _cs_edges_small(spark, sf_dir), orientation=Orientation.UNDIRECTED
     )
+    res = sllpa(g, max_iterations=_SLLPA_ITERS, seed=_SLLPA_SEED, coin="md5")
+    return res.communities.select(
+        "vid", F.explode("community_ids").alias("community_id")
+    )
+
+
+def _sllpa_oracle_sql() -> str:
+    """Round-by-round replay of sllpa's memory evolution. Memory =
+    (vid, label, cnt, ord) rows, ord = iteration the label was appended
+    (the Spark array's insertion order; at most one new label per
+    iteration so ord is unique per (vid, label)). Spoken label = the
+    unique row with cum_before <= r < cum_before + cnt where r =
+    md5-coin % total (the fold in operators/sllpa._spoken_label).
+    Heard winner = max count, ties to the smaller label."""
+    K = _SLLPA_ITERS
+    sd = _SLLPA_SEED
+    ctes = [
+        f"e0 AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "ed AS MATERIALIZED (SELECT src AS speaker, dst AS listener FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        "sln AS MATERIALIZED (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
+        "m0 AS MATERIALIZED (SELECT vid, vid AS label, 1::BIGINT AS cnt, 0 AS ord FROM sln)",
+    ]
+    for it in range(K):
+        h = f"('0x' || substr(md5('sl#{sd}#{it}#' || m.vid::VARCHAR), 1, 8))::BIGINT"
+        ctes.append(f"""sp{it} AS MATERIALIZED (
+            SELECT vid, label AS lbl FROM (
+                SELECT m.vid, m.label, m.cnt,
+                       SUM(m.cnt) OVER (PARTITION BY m.vid ORDER BY m.ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - m.cnt AS cum,
+                       {h} % (SUM(m.cnt) OVER (PARTITION BY m.vid)) AS r
+                FROM m{it} m
+            ) WHERE r >= cum AND r < cum + cnt
+        )""")
+        ctes.append(f"""hd{it} AS MATERIALIZED (
+            SELECT listener AS vid, lbl, count(*) AS c
+            FROM ed JOIN sp{it} s ON s.vid = ed.speaker
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""bs{it} AS MATERIALIZED (
+            SELECT vid, lbl FROM (
+                SELECT vid, lbl,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY c DESC, lbl ASC) AS rn
+                FROM hd{it}
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""m{it + 1} AS MATERIALIZED (
+            SELECT m.vid, m.label,
+                   m.cnt + CASE WHEN b.lbl IS NOT NULL THEN 1 ELSE 0 END AS cnt,
+                   m.ord
+            FROM m{it} m LEFT JOIN bs{it} b ON b.vid = m.vid AND b.lbl = m.label
+            UNION ALL
+            SELECT b.vid, b.lbl, 1::BIGINT, {it + 1}
+            FROM bs{it} b ANTI JOIN m{it} m ON m.vid = b.vid AND m.label = b.lbl
+        )""")
+    return f"""
+    WITH {','.join(ctes)},
+    tot AS (SELECT vid, SUM(cnt) AS t FROM m{K} GROUP BY vid)
+    SELECT m.vid, m.label AS community_id
+    FROM m{K} m JOIN tot ON tot.vid = m.vid
+    WHERE m.cnt::DOUBLE / tot.t >= 0.2
+    """
 
 
 def _q_maxkcut(spark, sf_dir):
@@ -1833,8 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dfs": _q_dfs,
         "graph_scale_minmax": _q_scale_minmax,
         "graph_k1coloring": _q_k1coloring,
-        # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_sllpa": _q_sllpa,
+        # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_maxkcut": _q_maxkcut,
         "graph_sample_rwr": _q_sample_rwr,
         "graph_node2vec": _q_node2vec_smoke,
@@ -2427,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_dfs": _dfs_oracle_sql(),
         "graph_scale_minmax": _scale_minmax_oracle_sql(),
         "graph_k1coloring": _k1coloring_oracle_sql(),
+        "graph_sllpa": _sllpa_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -61,7 +61,11 @@ def sllpa(
     max_iterations: int = 10,
     min_association_strength: float = 0.2,
     seed: int = 42,
+    coin: str = "xxhash64",
 ) -> SllpaResult:
+    """coin="md5" swaps the spoken-label hash for the engine-portable md5
+    coin family (operators/influence._md5_u32) — the graph_sllpa DuckDB
+    oracle replays the identical per-iteration memory evolution."""
     spark = graph.edges.sparkSession
     edges = graph.edges.select(
         F.col("src").alias("speaker"), F.col("dst").alias("listener")
@@ -71,7 +75,12 @@ def sllpa(
     state = nodes.select("vid", mem0.alias("mem")).localCheckpoint(eager=True)
 
     for it in range(max_iterations):
-        h = F.xxhash64(F.lit(seed), F.lit(it), F.col("vid"))
+        if coin == "md5":
+            from graph_data_science_spark.operators.influence import _md5_u32
+
+            h = _md5_u32(F.lit("sl"), F.lit(str(seed)), F.lit(str(it)), F.col("vid"))
+        else:
+            h = F.xxhash64(F.lit(seed), F.lit(it), F.col("vid"))
         spoken = state.select(
             F.col("vid").alias("speaker"), _spoken_label(F.col("mem"), h).alias("lbl")
         )
