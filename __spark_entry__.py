@@ -1650,26 +1650,167 @@ def _sllpa_oracle_sql() -> str:
     """
 
 
+_MKC_K = 2
+_MKC_ITERS = 2
+_MKC_SEED = 42
+_MKC_COLOR_BOUND = 8  # geo graph degree <= 4 and 8 init colors => colors stay in 0..7
+
+
 def _q_maxkcut(spark, sf_dir):
-    """gds.maxkcut (approx max-2-cut via color-class best moves) —
-    rows-only (iterative conflict-free moves are not SQL-expressible)."""
+    """gds.maxkcut (approx max-2-cut via color-class best moves) on the
+    geo ring+chord graph with the md5 coin family: the oracle replays
+    the hash init, the k1-coloring rounds, and every color-class sweep
+    round (min internal weight, ties to the smaller set)."""
     from graph_data_science_spark.operators.maxkcut import approx_max_k_cut
 
     _nodes, edges = _geo_edges(spark, sf_dir)
     g = Graph.from_edges(edges)
-    res = approx_max_k_cut(g, k=2, iterations=2)
+    res = approx_max_k_cut(g, k=_MKC_K, iterations=_MKC_ITERS, seed=_MKC_SEED,
+                           coin="md5")
     return res.assignments.select("vid", "community")
 
 
+def _maxkcut_oracle_sql() -> str:
+    """Full replay: geo canonical edges (integral weights — w_in sums are
+    float-exact), md5 init over k sets, the 5 k1-coloring rounds (same
+    recipe as the k1coloring oracle), then iterations × colors 0..7
+    sweep rounds — absent color classes are empty mover sets, a no-op in
+    both engines, so unrolling the fixed 0..7 range replays the
+    data-dependent color list exactly."""
+    ctes = [
+        "cust AS MATERIALIZED (SELECT c_custkey AS vid, "
+        "((c_custkey % 179) - 89 + 0.5)::DOUBLE AS lat, "
+        "(((c_custkey * 7) % 359) - 179 + 0.5)::DOUBLE AS lon "
+        "FROM customer WHERE c_custkey < 200)",
+        f"e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, "
+        f"ROUND({_GEO_HAV} * 1.02, 0) + 1 AS weight "
+        f"FROM cust a JOIN cust b ON b.vid = a.vid + 1 OR b.vid = a.vid + 13)",
+        "eb AS MATERIALIZED (SELECT src, dst, weight FROM e "
+        "UNION ALL SELECT dst, src, weight FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM eb UNION SELECT dst FROM eb)",
+        # k1-coloring replay (color_edges with init_coin=md5)
+        "c0 AS MATERIALIZED (SELECT vid, "
+        "(('0x' || substr(md5('k1c#' || vid::VARCHAR), 1, 8))::BIGINT % 8) AS color "
+        "FROM nodes)",
+        """t0 AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c0 a ON a.vid = eb.src JOIN c0 b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""",
+    ]
+    for r in range(1, 6):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+            SELECT eb.src AS vid, list_sort(list(DISTINCT c.color)) AS nc
+            FROM eb JOIN t{r - 1} t ON t.vid = eb.src
+                    JOIN c{r - 1} c ON c.vid = eb.dst
+            GROUP BY eb.src
+        )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+            SELECT p.vid,
+                   COALESCE(
+                       (SELECT list_min(list_filter(
+                            generate_series(0, len(n.nc)),
+                            x -> NOT list_contains(n.nc, x)))
+                        FROM n{r} n WHERE n.vid = p.vid),
+                       p.color) AS color
+            FROM c{r - 1} p
+        )""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c{r} a ON a.vid = eb.src JOIN c{r} b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""")
+    # hash init over k sets, then the sweep rounds
+    ctes.append(
+        f"a0 AS MATERIALIZED (SELECT vid, "
+        f"(('0x' || substr(md5('mkc#{_MKC_SEED}#' || vid::VARCHAR), 1, 8))::BIGINT "
+        f"% {_MKC_K}) AS community FROM nodes)"
+    )
+    r = 0
+    for _it in range(_MKC_ITERS):
+        for cid in range(_MKC_COLOR_BOUND):
+            r += 1
+            ctes.append(f"""w{r} AS MATERIALIZED (
+                SELECT eb.src AS vid, a.community AS c, SUM(eb.weight) AS w_in
+                FROM eb JOIN c5 col ON col.vid = eb.src AND col.color = {cid}
+                        JOIN a{r - 1} a ON a.vid = eb.dst
+                GROUP BY 1, 2
+            )""")
+            ctes.append(f"""b{r} AS MATERIALIZED (
+                SELECT vid, c AS new_community FROM (
+                    SELECT mv.vid, s.c, COALESCE(w.w_in, 0.0) AS w_in,
+                           row_number() OVER (PARTITION BY mv.vid
+                                              ORDER BY COALESCE(w.w_in, 0.0) ASC,
+                                                       s.c ASC) AS rn
+                    FROM (SELECT vid FROM c5 WHERE color = {cid}) mv
+                    CROSS JOIN (SELECT unnest(generate_series(0, {_MKC_K - 1})) AS c) s
+                    LEFT JOIN w{r} w ON w.vid = mv.vid AND w.c = s.c
+                ) WHERE rn = 1
+            )""")
+            ctes.append(f"""a{r} AS MATERIALIZED (
+                SELECT p.vid, COALESCE(b.new_community, p.community) AS community
+                FROM a{r - 1} p LEFT JOIN b{r} b ON b.vid = p.vid
+            )""")
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT vid, community::BIGINT AS community FROM a{r}"
+    )
+
+
+_RWR_SEED = 42
+_RWR_LEN = 6
+_RWR_WALKS = 3
+_RWR_P = 0.1
+_RWR_START_BOUND = 8
+
+
 def _q_sample_rwr(spark, sf_dir):
-    """gds.graph.sample.rwr (random-walk-with-restart subgraph sample,
-    hash-deterministic walks) — rows-only: the sampled node set."""
+    """gds.graph.sample.rwr with the md5 coin family: the oracle replays
+    every restart decision and neighbor pick over the sorted adjacency
+    lists, so the sampled node set is hash-exact."""
     from graph_data_science_spark.sources.sampling import sample_rwr
 
     g = Graph.from_edges(_cs_edges_small(spark, sf_dir))
-    starts = g.nodes.filter(F.col("vid") < 8)
-    sub = sample_rwr(g, starts, walk_length=6, walks_per_node=3)
+    starts = g.nodes.filter(F.col("vid") < _RWR_START_BOUND)
+    sub = sample_rwr(g, starts, restart_probability=_RWR_P,
+                     walk_length=_RWR_LEN, walks_per_node=_RWR_WALKS,
+                     seed=_RWR_SEED, coin="md5")
     return sub.nodes.select("vid")
+
+
+def _sample_rwr_oracle_sql() -> str:
+    """Walk replay: walkers = (start, w) pairs with walk_id
+    '<start>_<w>'; per step, restart iff md5 coin < p*2^32, else step to
+    nbrs[md5 coin % deg] over the ASCENDING-sorted adjacency (sinks
+    restart). Sampled set = every node any walker stood on."""
+    p32 = int(_RWR_P * (1 << 32))
+    sd = _RWR_SEED
+    ctes = [
+        f"e0 AS MATERIALIZED ({_CS_EDGES_SMALL_SQL})",
+        "rn0 AS MATERIALIZED (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0)",
+        "adj AS MATERIALIZED (SELECT src AS vid, list_sort(list(dst)) AS nbrs, "
+        "count(*) AS deg FROM e0 GROUP BY src)",
+        f"""w0 AS MATERIALIZED (
+            SELECT n.vid::VARCHAR || '_' || s.w::VARCHAR AS walk_id,
+                   n.vid AS start, n.vid AS cur
+            FROM rn0 n
+            CROSS JOIN (SELECT unnest(generate_series(0, {_RWR_WALKS - 1})) AS w) s
+            WHERE n.vid < {_RWR_START_BOUND}
+        )""",
+    ]
+    for t in range(_RWR_LEN):
+        rcoin = f"('0x' || substr(md5('rwr#r#{sd}#' || w.walk_id || '#{t}'), 1, 8))::BIGINT"
+        icoin = f"('0x' || substr(md5('rwr#i#{sd}#' || w.walk_id || '#{t}'), 1, 8))::BIGINT"
+        ctes.append(f"""w{t + 1} AS MATERIALIZED (
+            SELECT w.walk_id, w.start,
+                   CASE WHEN {rcoin} < {p32} THEN w.start
+                        WHEN a.deg IS NOT NULL AND a.deg > 0
+                        THEN a.nbrs[({icoin} % a.deg)::INT + 1]
+                        ELSE w.start END AS cur
+            FROM w{t} w LEFT JOIN adj a ON a.vid = w.cur
+        )""")
+    visited = " UNION ".join(f"SELECT cur AS vid FROM w{t}" for t in range(_RWR_LEN + 1))
+    return f"WITH {','.join(ctes)} SELECT DISTINCT vid FROM ({visited})"
 
 
 def _q_node2vec_smoke(spark, sf_dir):
@@ -1905,9 +2046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scale_minmax": _q_scale_minmax,
         "graph_k1coloring": _q_k1coloring,
         "graph_sllpa": _q_sllpa,
-        # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_maxkcut": _q_maxkcut,
         "graph_sample_rwr": _q_sample_rwr,
+        # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
     }
@@ -2499,6 +2640,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_scale_minmax": _scale_minmax_oracle_sql(),
         "graph_k1coloring": _k1coloring_oracle_sql(),
         "graph_sllpa": _sllpa_oracle_sql(),
+        "graph_maxkcut": _maxkcut_oracle_sql(),
+        "graph_sample_rwr": _sample_rwr_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -37,7 +37,11 @@ def approx_max_k_cut(
     k: int = 2,
     iterations: int = 8,
     seed: int = 42,
+    coin: str = "xxhash64",
 ) -> MaxKCutResult:
+    """coin="md5" makes the initial assignment and the k1-coloring init
+    engine-portable, so the graph_maxkcut DuckDB oracle replays the
+    color-class sweep rounds exactly."""
     spark = graph.edges.sparkSession
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -49,11 +53,17 @@ def approx_max_k_cut(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         ).persist()
         nodes = graph.nodes.select("vid")
+        if coin == "md5":
+            from graph_data_science_spark.operators.influence import _md5_u32
+
+            init_c = F.pmod(_md5_u32(F.lit("mkc"), F.lit(str(seed)), F.col("vid")), F.lit(k))
+        else:
+            init_c = F.pmod(F.xxhash64(F.lit(seed), F.col("vid")), F.lit(k))
         assign = nodes.select(
-            "vid", F.pmod(F.xxhash64(F.lit(seed), F.col("vid")), F.lit(k)).alias("community")
+            "vid", init_c.alias("community")
         ).transform(cut_lineage)
 
-        coloring = color_edges(both, nodes, max_iterations=5)
+        coloring = color_edges(both, nodes, max_iterations=5, init_coin=coin)
         colors = coloring.colors.persist()
         color_list = [
             r["color"] for r in colors.select("color").distinct().orderBy("color").collect()

@@ -201,12 +201,15 @@ def sample_rwr(
     walk_length: int = 10,
     walks_per_node: int = 5,
     seed: int = 42,
+    coin: str = "xxhash64",
 ) -> Graph:
     """Random-walk-with-restart subgraph sample (gds.graph.sample.rwr):
     the induced subgraph over all nodes visited by restarting walks.
 
     Restart = with probability p the walker jumps back to its start
     (decided by hash(seed+1, walk_id, step) — deterministic).
+    coin="md5" swaps both per-step coins for the engine-portable md5
+    family so the graph_sample_rwr DuckDB oracle replays the walks.
     """
     adj = _adjacency(graph)
     walkers = start_nodes.select(
@@ -220,17 +223,29 @@ def sample_rwr(
     visited = walkers.select(F.col("cur").alias("vid"))
     state = walkers.persist()
     p_scaled = int(restart_probability * (1 << 30))
+    p32 = int(restart_probability * (1 << 32))
     for step in range(walk_length):
         nbr = adj.select(F.col("vid").alias("cur"), "nbrs", "deg")
         joined = state.join(nbr, "cur", "left")
-        restart = (
-            F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("walk_id"), F.lit(step))),
-                   F.lit(1 << 30))
-            < p_scaled
-        )
-        idx = F.pmod(
-            F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))), F.col("deg")
-        )
+        if coin == "md5":
+            from graph_data_science_spark.operators.influence import _md5_u32
+
+            restart = _md5_u32(F.lit("rwr"), F.lit("r"), F.lit(str(seed)),
+                               F.col("walk_id"), F.lit(str(step))) < F.lit(p32)
+            idx = F.pmod(
+                _md5_u32(F.lit("rwr"), F.lit("i"), F.lit(str(seed)),
+                         F.col("walk_id"), F.lit(str(step))),
+                F.col("deg"),
+            )
+        else:
+            restart = (
+                F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("walk_id"), F.lit(step))),
+                       F.lit(1 << 30))
+                < p_scaled
+            )
+            idx = F.pmod(
+                F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))), F.col("deg")
+            )
         nxt = F.when(restart, F.col("start")).otherwise(
             F.when(
                 F.col("deg").isNotNull() & (F.col("deg") > 0),
