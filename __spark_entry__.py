@@ -1348,6 +1348,120 @@ def _fastrp_oracle_sql() -> str:
     """
 
 
+_KST_K = 3
+
+
+def _q_k_spanning_tree(spark, sf_dir):
+    """gds.kSpanningTree on the undirected 4-level tree: cut the k-1
+    most expensive tree edges (deterministic total order: weight desc,
+    src asc, dst asc — unit weights make it pure id order) and label
+    each resulting subtree by its min member vid."""
+    from graph_data_science_spark.operators.spanningtree import k_spanning_tree
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _tree_edges(spark, sf_dir)
+    root = edges.filter(F.col("src") >= 1_000_000).agg(F.min("src")).collect()[0][0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    return k_spanning_tree(g, start_node=int(root), k=_KST_K).select(
+        "vid", "component"
+    )
+
+
+def _k_spanning_tree_oracle_sql() -> str:
+    """Replay: tree edges of the root's component in canonical
+    (least, greatest) form; drop the k-1 edges first in (weight desc,
+    src asc, dst asc) order; components = min-reachable vid over the
+    remainder (the WCC union-by-min fixed point)."""
+    inner = f"""
+        {_TREE_SQL},
+        root AS (SELECT MIN(src) AS r FROM te WHERE src >= 1000000),
+        allrows AS (
+            SELECT te.dst AS vid, te.src AS parent FROM te
+            UNION ALL
+            SELECT r, NULL FROM root
+        )
+        SELECT vid, parent FROM allrows
+    """
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED ({inner}),
+    walk(vid) AS (
+        SELECT vid FROM base WHERE parent IS NULL
+        UNION
+        SELECT b.vid FROM walk w JOIN base b ON b.parent = w.vid
+    ),
+    members AS MATERIALIZED (SELECT DISTINCT vid FROM walk),
+    tre AS MATERIALIZED (
+        SELECT LEAST(b.vid, b.parent) AS src, GREATEST(b.vid, b.parent) AS dst,
+               1.0 AS weight
+        FROM base b JOIN members m ON m.vid = b.vid
+        WHERE b.parent IS NOT NULL
+    ),
+    cut AS MATERIALIZED (
+        SELECT src, dst FROM tre
+        ORDER BY weight DESC, src ASC, dst ASC LIMIT {_KST_K - 1}
+    ),
+    kept AS MATERIALIZED (
+        SELECT t.src, t.dst FROM tre t ANTI JOIN cut c
+        ON c.src = t.src AND c.dst = t.dst
+    ),
+    ku AS MATERIALIZED (SELECT src, dst FROM kept UNION SELECT dst, src FROM kept),
+    reach(v, m) AS (
+        SELECT vid, vid FROM members
+        UNION
+        SELECT ku.dst, r.m FROM reach r JOIN ku ON ku.src = r.v
+    )
+    SELECT v AS vid, MIN(m) AS component FROM reach GROUP BY v
+    """
+
+
+def _q_docs_enrich(spark, sf_dir):
+    """The streaming document pipeline's enrichment stage on its batch
+    path (streaming/docs.enrich_documents composes the SAME Column
+    expressions): content sha256 + quality + language per document."""
+    from graph_data_science_spark.streaming.docs import enrich_documents
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.current_timestamp().alias("event_time")
+    )
+    return enrich_documents(docs).select(
+        "doc_id", "content_sha256", "n_tokens", "quality", "pred_lang"
+    )
+
+
+def _docs_enrich_oracle_sql() -> str:
+    return f"""
+    WITH f AS (
+        SELECT doc_id, {_TOK} AS toks,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha,
+               sha256(text) AS content_sha256
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, content_sha256, len(toks) AS n_tokens, alpha,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, t -> list_contains({_SW_EN}, t))) AS DOUBLE)
+                         / len(toks) END AS stop_ratio
+        FROM f
+    ),
+    l AS (
+        SELECT doc_id,
+               len(list_filter({_TOK}, x -> list_contains({_SW_EN}, x))) AS hits_en,
+               len(list_filter({_TOK}, x -> list_contains({_SW_DE}, x))) AS hits_de,
+               len(list_filter({_TOK}, x -> list_contains({_SW_FR}, x))) AS hits_fr
+        FROM documents
+    )
+    SELECT g.doc_id, g.content_sha256, g.n_tokens,
+           ROUND(least(1.0, g.n_tokens / 20.0) * g.alpha
+                 * least(1.0, g.stop_ratio * 5.0 + 0.5), 4)::DOUBLE AS quality,
+           CASE WHEN greatest(l.hits_en, l.hits_de, l.hits_fr) = 0 THEN 'und'
+                WHEN l.hits_en = greatest(l.hits_en, l.hits_de, l.hits_fr) THEN 'en'
+                WHEN l.hits_de = greatest(l.hits_en, l.hits_de, l.hits_fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM g JOIN l ON l.doc_id = g.doc_id
+    """
+
+
 def _q_bfs(spark, sf_dir):
     """gds.bfs hop distances from the min custkey over the undirected
     customer-supplier slice (level semantics; unreachable rows dropped)."""
@@ -2048,6 +2162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sllpa": _q_sllpa,
         "graph_maxkcut": _q_maxkcut,
         "graph_sample_rwr": _q_sample_rwr,
+        "graph_k_spanning_tree": _q_k_spanning_tree,
+        "docs_enrich": _q_docs_enrich,
         # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
@@ -2642,6 +2758,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_sllpa": _sllpa_oracle_sql(),
         "graph_maxkcut": _maxkcut_oracle_sql(),
         "graph_sample_rwr": _sample_rwr_oracle_sql(),
+        "graph_k_spanning_tree": _k_spanning_tree_oracle_sql(),
+        "docs_enrich": _docs_enrich_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM
