@@ -1300,6 +1300,13 @@ def _q_fastrp(spark, sf_dir):
     # + 0.0 canonicalizes -0.0 -> +0.0 (IEEE); DuckDB's parallel SUM
     # returns -0.0 or +0.0 depending on scan order, and the driver's
     # value hash formats them differently ("-0" vs "0")
+    #
+    # Known hash-flake risk (accepted): the operator's posexplode+SUM
+    # neighbor mean accumulates floats in partition order, so a value
+    # sitting exactly on a 5-decimal rounding boundary could round
+    # differently than DuckDB's scan-order sum. Stable at 16/32
+    # partitions on this fixture; if a flake ever appears, sum over a
+    # sorted (vid, pos, src) ordering in fastrp.py or widen the rounding.
     return emb.select("vid", F.posexplode("embedding").alias("pos", "val")).select(
         "vid", "pos", (F.round("val", 5) + F.lit(0.0)).alias("val")
     )
@@ -1791,14 +1798,11 @@ def _maxkcut_oracle_sql() -> str:
     sweep rounds — absent color classes are empty mover sets, a no-op in
     both engines, so unrolling the fixed 0..7 range replays the
     data-dependent color list exactly."""
+    from graph_data_science_spark.operators.maxkcut import COLOR_ROUNDS
+
     ctes = [
-        "cust AS MATERIALIZED (SELECT c_custkey AS vid, "
-        "((c_custkey % 179) - 89 + 0.5)::DOUBLE AS lat, "
-        "(((c_custkey * 7) % 359) - 179 + 0.5)::DOUBLE AS lon "
-        "FROM customer WHERE c_custkey < 200)",
-        f"e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, "
-        f"ROUND({_GEO_HAV} * 1.02, 0) + 1 AS weight "
-        f"FROM cust a JOIN cust b ON b.vid = a.vid + 1 OR b.vid = a.vid + 13)",
+        _GEO_CUST_CTE,
+        _GEO_EDGE_CTE,
         "eb AS MATERIALIZED (SELECT src, dst, weight FROM e "
         "UNION ALL SELECT dst, src, weight FROM e)",
         "nodes AS MATERIALIZED (SELECT src AS vid FROM eb UNION SELECT dst FROM eb)",
@@ -1812,7 +1816,7 @@ def _maxkcut_oracle_sql() -> str:
             WHERE eb.src > eb.dst AND a.color = b.color
         )""",
     ]
-    for r in range(1, 6):
+    for r in range(1, COLOR_ROUNDS + 1):
         ctes.append(f"""n{r} AS MATERIALIZED (
             SELECT eb.src AS vid, list_sort(list(DISTINCT c.color)) AS nc
             FROM eb JOIN t{r - 1} t ON t.vid = eb.src
@@ -1846,7 +1850,7 @@ def _maxkcut_oracle_sql() -> str:
             r += 1
             ctes.append(f"""w{r} AS MATERIALIZED (
                 SELECT eb.src AS vid, a.community AS c, SUM(eb.weight) AS w_in
-                FROM eb JOIN c5 col ON col.vid = eb.src AND col.color = {cid}
+                FROM eb JOIN c{COLOR_ROUNDS} col ON col.vid = eb.src AND col.color = {cid}
                         JOIN a{r - 1} a ON a.vid = eb.dst
                 GROUP BY 1, 2
             )""")
@@ -1856,7 +1860,7 @@ def _maxkcut_oracle_sql() -> str:
                            row_number() OVER (PARTITION BY mv.vid
                                               ORDER BY COALESCE(w.w_in, 0.0) ASC,
                                                        s.c ASC) AS rn
-                    FROM (SELECT vid FROM c5 WHERE color = {cid}) mv
+                    FROM (SELECT vid FROM c{COLOR_ROUNDS} WHERE color = {cid}) mv
                     CROSS JOIN (SELECT unnest(generate_series(0, {_MKC_K - 1})) AS c) s
                     LEFT JOIN w{r} w ON w.vid = mv.vid AND w.c = s.c
                 ) WHERE rn = 1
@@ -2424,19 +2428,29 @@ _GEO_HAV = (
     "pow(sin(radians(b.lon - a.lon) / 2), 2) * cos(radians(a.lat)) * cos(radians(b.lat))))"
 )
 
+# The geo ring+chord graph (mirrors _geo_edges exactly, including the
+# round(haversine*1.02)+1 integral weights) — single source of truth for
+# every oracle that replays it (astar, maxkcut).
+_GEO_CUST_CTE = (
+    "cust AS MATERIALIZED (SELECT c_custkey AS vid, "
+    "((c_custkey % 179) - 89 + 0.5)::DOUBLE AS lat, "
+    "(((c_custkey * 7) % 359) - 179 + 0.5)::DOUBLE AS lon "
+    "FROM customer WHERE c_custkey < 200)"
+)
+_GEO_EDGE_CTE = (
+    f"e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, "
+    f"ROUND({_GEO_HAV} * 1.02, 0) + 1 AS weight "
+    f"FROM cust a JOIN cust b ON b.vid = a.vid + 1 OR b.vid = a.vid + 13)"
+)
+
 
 def _astar_oracle_sql() -> str:
     """Geo ring+chord graph (mirrors _geo_edges exactly, including the
     round(haversine*1.02)+1 integral weights), unrolled relaxation from
     vid 1, single target row 199."""
     ctes = [
-        "cust AS MATERIALIZED (SELECT c_custkey AS vid, "
-        "((c_custkey % 179) - 89 + 0.5)::DOUBLE AS lat, "
-        "(((c_custkey * 7) % 359) - 179 + 0.5)::DOUBLE AS lon "
-        "FROM customer WHERE c_custkey < 200)",
-        f"e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, "
-        f"ROUND({_GEO_HAV} * 1.02, 0) + 1 AS weight "
-        f"FROM cust a JOIN cust b ON b.vid = a.vid + 1 OR b.vid = a.vid + 13)",
+        _GEO_CUST_CTE,
+        _GEO_EDGE_CTE,
         "eu AS MATERIALIZED (SELECT src, dst, weight FROM e "
         "UNION ALL SELECT dst, src, weight FROM e)",
         "nodes AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e)",

@@ -199,9 +199,34 @@ def _reconstruct(
             .localCheckpoint(eager=True)
         )
         rounds = int(math.ceil(math.log2(max(max_rounds, 2)))) + 2
+        first_round = True
         for _ in range(rounds):
             if active.rdd.isEmpty():
                 break
+            if not first_round:
+                # square the jump table (2^k -> 2^(k+1) hops per row) at
+                # the TOP of a round we know will run — squaring after
+                # the step wasted one full self-join + eager checkpoint
+                # per reconstruction (the last square was never consumed)
+                # and materialized the widest O(n*2^k) table exactly when
+                # only a handful of walks remained active
+                a, b = jump.alias("a"), jump.alias("b")
+                jump = (
+                    a.join(b, F.col("a.nxt") == F.col("b.cur"), "left")
+                    .select(
+                        F.col("a.cur").alias("cur"),
+                        F.when(F.col("a.nxt").isNull(), F.lit(None).cast("long"))
+                        .otherwise(F.col("b.nxt")).alias("nxt"),
+                        F.when(F.col("a.nxt").isNull(), F.col("a.seg_nodes"))
+                        .otherwise(F.concat(F.col("a.seg_nodes"), F.col("b.seg_nodes")))
+                        .alias("seg_nodes"),
+                        F.when(F.col("a.nxt").isNull(), F.col("a.seg_costs"))
+                        .otherwise(F.concat(F.col("a.seg_costs"), F.col("b.seg_costs")))
+                        .alias("seg_costs"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            first_round = False
             stepped = (
                 active.join(jump, active["cur_next"] == jump["cur"])
                 .select(
@@ -218,23 +243,6 @@ def _reconstruct(
                 eager=True
             )
             active = stepped.filter(F.col("cur_next").isNotNull())
-            # square the jump table: 2^k -> 2^(k+1) hops per row
-            a, b = jump.alias("a"), jump.alias("b")
-            jump = (
-                a.join(b, F.col("a.nxt") == F.col("b.cur"), "left")
-                .select(
-                    F.col("a.cur").alias("cur"),
-                    F.when(F.col("a.nxt").isNull(), F.lit(None).cast("long"))
-                    .otherwise(F.col("b.nxt")).alias("nxt"),
-                    F.when(F.col("a.nxt").isNull(), F.col("a.seg_nodes"))
-                    .otherwise(F.concat(F.col("a.seg_nodes"), F.col("b.seg_nodes")))
-                    .alias("seg_nodes"),
-                    F.when(F.col("a.nxt").isNull(), F.col("a.seg_costs"))
-                    .otherwise(F.concat(F.col("a.seg_costs"), F.col("b.seg_costs")))
-                    .alias("seg_costs"),
-                )
-                .localCheckpoint(eager=True)
-            )
     ptab.unpersist()
     src_col = (
         F.lit(source) if source is not None

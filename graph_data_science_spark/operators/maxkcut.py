@@ -25,6 +25,14 @@ from graph_data_science_spark.plans.graph import Graph
 from graph_data_science_spark.plans.lineage import cut_lineage
 
 
+# Number of k1-coloring rounds used to build the conflict-free move
+# schedule. The graph_maxkcut DuckDB oracle unrolls exactly this many
+# coloring CTEs (it imports this constant) — change it here and the
+# oracle replay follows; editing either side alone can't silently
+# diverge anymore.
+COLOR_ROUNDS = 5
+
+
 @dataclass
 class MaxKCutResult:
     assignments: DataFrame  # (vid, community)
@@ -63,7 +71,7 @@ def approx_max_k_cut(
             "vid", init_c.alias("community")
         ).transform(cut_lineage)
 
-        coloring = color_edges(both, nodes, max_iterations=5, init_coin=coin)
+        coloring = color_edges(both, nodes, max_iterations=COLOR_ROUNDS, init_coin=coin)
         colors = coloring.colors.persist()
         color_list = [
             r["color"] for r in colors.select("color").distinct().orderBy("color").collect()

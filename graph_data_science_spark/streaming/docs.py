@@ -64,11 +64,22 @@ def enrich_documents(frame: DataFrame) -> DataFrame:
 
 def streaming_exact_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Keep the FIRST arrival of each distinct content sha256 within the
-    watermark (state-store dedup — the streaming keeper rule)."""
+    watermark (state-store dedup — the streaming keeper rule).
+
+    Uses dropDuplicatesWithinWatermark (Spark >= 3.5): plain
+    dropDuplicates on a non-event-time key never evicts its state-store
+    entries (Spark only drops dedup state when the event-time column is
+    part of the keys), so a long-running stream would grow state
+    unbounded. WithinWatermark keeps first-arrival-wins semantics and
+    evicts each sha entry once the watermark passes its arrival time —
+    duplicates separated by more than the watermark are re-admitted,
+    which the periodic batch compaction over the sink (operators/dedup)
+    collapses; that trade is what "bounded state" means under
+    unbounded input."""
     return (
         stream.withColumn("content_sha256", F.sha2(F.col("text"), 256))
         .withWatermark("event_time", watermark)
-        .dropDuplicates(["content_sha256"])
+        .dropDuplicatesWithinWatermark(["content_sha256"])
     )
 
 
