@@ -8,10 +8,13 @@ Mirrors the four result modes of every GDS procedure family
   .mutate()  -> write the result as a node property into the catalog graph
   .write()   -> append the result to an external table path
 
-plus .estimate() stubs mirroring the memory-estimation surface
-(AlgorithmRunner.java:103-115) with a rows×width model — Spark's memory
-manager spills instead of refusing, so the estimate is advisory (used to
-pick broadcast vs shuffle strategies).
+plus .estimate() mirroring the memory-estimation surface: the
+reference's composition-tree model and result columns
+(MemoryEstimations.java, MemoryEstimateResult.java:31-46) rebuilt in
+plans/estimation.py, extended with a Spark plan advisory (shuffle
+volume per superstep, suggested partitions, broadcastability, executor
+fit) — Spark's memory manager spills instead of refusing, so the
+estimate's job is plan shaping, not admission control.
 """
 
 from __future__ import annotations
@@ -411,18 +414,35 @@ class Algo:
                      {"dimension": r.dimension, "iterations": len(r.metrics)},
                      self.catalog, self.graph.name)
 
-    # -- estimate stubs ---------------------------------------------------
-    def estimate(self, algo: str) -> dict[str, Any]:
-        """rows×width advisory estimate (reference pins exact bytes via
-        MemoryEstimations; Spark spills instead, so this only steers
-        broadcast-vs-shuffle choices)."""
-        n = self.graph.node_count()
-        m = self.graph.edge_count()
-        per_node = {"page_rank": 8 * 4, "wcc": 8 * 2, "label_propagation": 8 * 3,
-                    "triangle_count": 8 * 2, "degree": 8}.get(algo, 8 * 4)
-        return {
-            "nodeCount": n,
-            "relationshipCount": m,
-            "bytesMin": n * per_node + m * 8,
-            "bytesMax": n * per_node * 2 + m * 16,
-        }
+    # -- estimate ---------------------------------------------------------
+    def estimate(self, algo: str, **config: Any) -> dict[str, Any]:
+        """gds.<algo>.estimate: the reference's composition-tree
+        estimation (MemoryEstimations.java builders, per-algorithm
+        *MemoryEstimateDefinition formulas) rendered into the same
+        result columns (requiredMemory/treeView/mapView/bytesMin/
+        bytesMax/nodeCount/relationshipCount/heapPercentage*) plus a
+        Spark plan advisory (per-superstep shuffle bytes, suggested
+        shuffle partitions, broadcastability, executor fit) — see
+        plans/estimation.py. Dimensions-only; no job runs."""
+        from graph_data_science_spark.plans import estimation as est
+
+        spark = self.graph.edges.sparkSession
+        heap = None
+        try:
+            mem = spark.conf.get("spark.driver.memory", "0")
+            units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+            mem = mem.lower()
+            heap = (
+                int(mem[:-1]) * units[mem[-1]] if mem[-1] in units else int(mem)
+            ) or None
+        except Exception:
+            heap = None
+        res = est.estimate(
+            algo,
+            node_count=self.graph.node_count(),
+            relationship_count=self.graph.edge_count(),
+            concurrency=spark.sparkContext.defaultParallelism,
+            heap_bytes=heap,
+            **config,
+        )
+        return res.as_dict()
