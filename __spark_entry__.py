@@ -264,6 +264,74 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_topk(vecs, queries_df, dim=EMB_DIM, k=5, planes=6, tables=2)
 
 
+_IVF_CENTROIDS = 8
+_IVF_PROBE = 2
+_IVF_SEED = 42
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the second scale path next to LSH):
+    hash-seeded unit centroids, cosine-nearest cell assignment, n_probe
+    nearest cells searched, exact cosine re-rank. The oracle inlines the
+    identical centroid constants (Python repr doubles roundtrip exactly
+    through DuckDB's parser) and replays assignment, probing, and
+    re-rank — hash-exact."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 5)
+    return ann.ivf_topk(vecs, queries_df, dim=EMB_DIM, k=5,
+                        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+                        seed=_IVF_SEED)
+
+
+def _ann_ivf_topk_oracle_sql() -> str:
+    rows = []
+    for c in range(_IVF_CENTROIDS):
+        comps = ann.centroid_components(c, EMB_DIM, _IVF_SEED)
+        lit = "[" + ", ".join(repr(x) for x in comps) + "]"
+        rows.append(f"({c}, {lit}::DOUBLE[])")
+    cos = _COS_SQL.replace("ea.", "q.").replace("eb.", "n.")
+    return f"""
+    WITH cents(cell, cv) AS (VALUES {', '.join(rows)}),
+    dots AS (
+        SELECT e.vec_id, c.cell, list_dot_product(e.embedding, c.cv) AS dot
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rn
+            FROM dots) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell ASC) AS rn
+            FROM dots WHERE vec_id < 5) WHERE rn <= {_IVF_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, {cos} AS sim
+        FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                    JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4)::DOUBLE AS cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
 def _q_modularity(spark, sf_dir):
     from graph_data_science_spark.operators.modularity import modularity
 
@@ -2132,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_neardup": _q_ann_neardup,
         "ann_neardup_exact_small": _q_ann_neardup_exact_small,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "graph_modularity": _q_modularity,
         "graph_conductance": _q_conductance,
@@ -2739,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_embedding_neardup": _ann_neardup_lsh_oracle_sql(),
         "ann_neardup_exact_small": ann_neardup_exact_oracle,
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_topk_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "multimodal_features": _MULTIMODAL_ORACLE_SQL,
         "graph_louvain": louvain_oracle,

@@ -136,6 +136,100 @@ def lsh_topk(
     )
 
 
+def centroid_components(c: int, dim: int, seed: int = 42) -> list[float]:
+    """Deterministic IVF coarse-quantizer centroid, L2-normalized:
+    raw component j = ((md5("ivf#seed#c#j") % 2001) - 1000) / 1000 in
+    [-1, 1], then divided by the vector norm. hashlib at plan-build
+    time — engine-portable, DuckDB oracles inline the identical
+    constants (Python repr doubles roundtrip exactly through DuckDB's
+    literal parser, same contract as plane_signs)."""
+    import hashlib
+    import math
+
+    raw = [
+        (int(hashlib.md5(f"ivf#{seed}#{c}#{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for j in range(dim)
+    ]
+    nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+    return [x / nrm for x in raw]
+
+
+def _cell_dots(vec: Column, dim: int, n_centroids: int, seed: int) -> Column:
+    """array of dot(vec, unit_centroid_c) for c in [0, n_centroids) —
+    argmax over it is the cosine-nearest cell (||vec|| is constant
+    across cells). Left-to-right fold order matches DuckDB's
+    list_dot_product, so the argmax is engine-portable."""
+    dots = []
+    for c in range(n_centroids):
+        cen = F.array(*[F.lit(x) for x in centroid_components(c, dim, seed)])
+        dots.append(
+            F.aggregate(F.zip_with(vec, cen, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+        )
+    return F.array(*dots)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path next
+    to lsh_topk. Every vector is assigned to its cosine-nearest coarse
+    centroid (the "cell"); a query probes its n_probe nearest cells and
+    re-ranks exactly (cosine) within them.
+
+    100 TB shape: the cell assignment is one narrow column over the
+    base table (computable incrementally as data lands); the search
+    join hits n_probe/n_centroids of the corpus instead of all of it,
+    and the cell column is a natural partition key for the stored
+    index. Recall < 1 by construction, tunable via (n_centroids,
+    n_probe). Seeded hash-derived centroids stand in for a trained
+    k-means codebook (operators/kmeans.py can supply trained centroids
+    at deployment; the plumbing is identical) and keep the whole path
+    deterministic + oracle-replayable.
+    """
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    # cell = argmax dot; array_position takes the FIRST max -> ties to
+    # the smallest cell id (oracle: ORDER BY dot DESC, cell ASC LIMIT 1)
+    b_dots = _cell_dots(F.col("nv"), dim, n_centroids, seed)
+    assigned = base.withColumn(
+        "cell", (F.array_position(b_dots, F.array_max(b_dots)) - 1).cast("long")
+    )
+
+    q_dots = q.select(
+        "query_id", "qv", F.posexplode(_cell_dots(F.col("qv"), dim, n_centroids, seed))
+        .alias("cell", "dot")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cell"))
+    probed = (
+        q_dots.withColumn("prb", F.row_number().over(wq))
+        .filter(F.col("prb") <= n_probe)
+        .select("query_id", "qv", F.col("cell").cast("long").alias("cell"))
+    )
+
+    cands = assigned.join(F.broadcast(probed), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rnk")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

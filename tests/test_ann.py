@@ -5,7 +5,9 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.ann import (
     brute_force_topk,
+    centroid_components,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -55,6 +57,34 @@ def test_lsh_topk_finds_near_duplicates(spark, vecs):
     got = lsh_topk(vecs, queries, dim=DIM, k=3, planes=6, tables=2).collect()
     ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
     assert ids[:2] == [40, 41] or ids[:2] == [41, 40]
+
+
+def test_ivf_centroids_unit_norm_and_deterministic():
+    c0 = centroid_components(0, DIM)
+    assert math.sqrt(sum(x * x for x in c0)) == pytest.approx(1.0, abs=1e-12)
+    assert c0 == centroid_components(0, DIM)  # plan-build determinism
+    assert c0 != centroid_components(1, DIM)
+    assert centroid_components(0, DIM, seed=7) != c0
+
+
+def test_ivf_topk_near_duplicates_and_probe_widening(spark, vecs):
+    # near-identical vectors land in the same cosine-nearest cell, so
+    # they are always within the n_probe=1 candidate set -> recall 1
+    queries = vecs.filter(F.col("vec_id") == 0)
+    got = ivf_topk(vecs, queries, dim=DIM, k=3, n_centroids=4, n_probe=1).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert set(ids[:2]) == {40, 41}
+    # full probe == brute force (every cell searched)
+    full = ivf_topk(vecs, queries, dim=DIM, k=3, n_centroids=4, n_probe=4).collect()
+    brute = brute_force_topk(vecs, queries, k=3).collect()
+    assert sorted((r["neighbor_id"], r["rnk"]) for r in full) == sorted(
+        (r["neighbor_id"], r["rnk"]) for r in brute
+    )
+    # widening the probe can only grow (or keep) the candidate set, so
+    # top-1 similarity is monotone non-decreasing in n_probe
+    one = {r["rnk"]: r["cosine_sim"] for r in got}
+    all_ = {r["rnk"]: r["cosine_sim"] for r in full}
+    assert all_[1] >= one[1]
 
 
 def test_embedding_near_duplicates(spark, vecs):
