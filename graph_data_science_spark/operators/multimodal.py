@@ -185,6 +185,52 @@ def extract_features(
     return spread.mapInPandas(extract, schema=out_schema)
 
 
+def resize_image(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize, pure numpy (fancy-index row/col lookup).
+    Nearest is the standard choice for thumbnail/training-shard resizes
+    where a real pipeline would use area/bilinear via an image lib; the
+    Spark-side contract (bounded Arrow batches in, resized payloads out)
+    is identical either way."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return np.ascontiguousarray(img[rows][:, cols])
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """mapInPandas decode -> resize -> re-encode over image payloads.
+
+    FULLY REAL for uncompressed BMP (decode_image/encode_bmp are pure
+    header math + numpy — no codec library); other formats raise
+    decode_image's loud ValueError rather than silently passing through.
+    Returns (media_id, payload, width, height) with payload a valid BMP
+    of the target dimensions. Non-image rows are filtered out Spark-side
+    so the parquet scan can prune them by the `kind` metadata column
+    before any payload bytes move."""
+    out_schema = "media_id long, payload binary, width int, height int"
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p) if p is not None else b"")
+                payloads.append(encode_bmp(resize_image(img, width, height)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(do, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 10000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled
     timestamp (decode stubbed — returns frame offsets, not pixels).

@@ -96,3 +96,47 @@ def test_decode_image_rejects_non_bmp(spark):
         decode_image(b"\xff\xd8\xff\xe0" + b"0" * 64)  # JPEG magic
     with pytest.raises(ValueError, match="shorter than"):
         decode_image(b"BM")
+
+
+def test_resize_images_end_to_end(spark):
+    """resize_images is fully real for BMP: decode -> nearest-neighbor
+    resize -> re-encode, all inside mapInPandas. Round-trip the output
+    payloads and check dimensions + exact nearest-neighbor pixels."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        resize_image,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    imgs = {}
+    for mid in range(5):
+        h, w = int(rng.integers(3, 17)), int(rng.integers(3, 17))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        imgs[mid] = img
+        kind = "image" if mid != 4 else "video"  # non-image filtered out
+        rows.append((mid, kind, bytearray(encode_bmp(img))))
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    out = {r["media_id"]: r for r in resize_images(df, width=8, height=6).collect()}
+    assert set(out) == {0, 1, 2, 3}  # the video row never decodes
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (8, 6)
+        decoded = decode_image(bytes(r["payload"]))
+        assert decoded.shape == (6, 8, 3)
+        np.testing.assert_array_equal(decoded, resize_image(imgs[mid], 8, 6))
+
+
+def test_resize_image_identity_and_downscale():
+    import numpy as np
+
+    from graph_data_science_spark.operators.multimodal import resize_image
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    np.testing.assert_array_equal(resize_image(img, 6, 4), img)  # no-op resize
+    half = resize_image(img, 3, 2)
+    np.testing.assert_array_equal(half, img[::2][:, ::2])  # exact 2x decimation

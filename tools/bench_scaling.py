@@ -4,7 +4,9 @@ evidenced in this sandbox by two parallelism levels on identical input).
 Runs PageRank-to-convergence at local[N] and local[4N] in separate
 subprocesses (fresh JVM each, no cache bleed), computes
     efficiency = throughput(4N) / (4 * throughput(N))
-and writes BENCH/BASELINE.md.
+and writes BENCH/scaling_bench.md + BENCH/scaling.json (BASELINE.md is
+hand-maintained from these — this tool must NOT overwrite it; the
+richer local-cluster campaign lives in scale_child/scale_collect).
 
 Usage: python tools/bench_scaling.py [N] (default 8 -> compares 8 vs 32)
 """
@@ -75,7 +77,7 @@ def main():
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
-        "# BENCH/BASELINE.md — measured numbers",
+        "# BENCH/scaling_bench.md — raw local[N] vs local[4N] legs",
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/bench_scaling.py.",
         "",
@@ -107,7 +109,7 @@ def main():
         "Target: efficiency >= 0.8 (north rule). See BASELINE.md for the "
         "full measurement protocol.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "scaling_bench.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
         json.dump(results, fh, indent=2)
