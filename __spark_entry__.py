@@ -176,6 +176,32 @@ def _q_triangle_global(spark, sf_dir):
     return spark.createDataFrame([(res.global_count,)], "global_triangles long")
 
 
+def _q_lcc(spark, sf_dir):
+    """localClusteringCoefficient: C(v) = 2*t(v)/(d(v)*(d(v)-1)), 0 when
+    d < 2, simple undirected degree (LocalClusteringCoefficient.java:
+    85-135). Oracle replays triangles + degree relationally."""
+    from graph_data_science_spark.operators.triangle import (
+        local_clustering_coefficient,
+    )
+
+    g = Graph.from_edges(_part_edges(spark, sf_dir))
+    return local_clustering_coefficient(g).select(
+        "vid", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def _q_collapse_path(spark, sf_dir):
+    """gds.collapsePath: compose customer->supplier with its reverse —
+    the collapsed edges connect customers sharing a supplier (the
+    reference's silent-relationship-composition semantics: distinct
+    endpoint pairs, self-loops dropped, weight 1.0)."""
+    from graph_data_science_spark.operators.traversal import collapse_path
+
+    cs = _cs_edges_small(spark, sf_dir)
+    rev = cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return collapse_path([cs, rev]).select("src", "dst", "weight")
+
+
 def _q_degree(spark, sf_dir):
     g = Graph.from_edges(_cs_edges(spark, sf_dir))
     return degree_centrality(g).select("vid", "score")
@@ -1689,6 +1715,60 @@ def _scale_minmax_oracle_sql() -> str:
     """
 
 
+def _q_scale_stdscore(spark, sf_dir):
+    """gds.scaleProperties (StdScore.java): (v - avg) / stddev_pop.
+    Signed output -> + 0.0 canonicalizes -0.0 after rounding."""
+    from graph_data_science_spark.operators.scaling import apply_scaler
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    scores = degree_centrality(g).select("vid", "score")
+    return apply_scaler(scores, "score", "stdscore").select(
+        "vid", (F.round("score", 6) + F.lit(0.0)).alias("score")
+    )
+
+
+def _q_scale_l2norm(spark, sf_dir):
+    """gds.scaleProperties (L2Norm.java): v / sqrt(sum(v^2))."""
+    from graph_data_science_spark.operators.scaling import apply_scaler
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    scores = degree_centrality(g).select("vid", "score")
+    return apply_scaler(scores, "score", "l2norm").select(
+        "vid", F.round("score", 6).alias("score")
+    )
+
+
+_SCALE_DEG_SQL = f"""
+    e AS MATERIALIZED ({_CS_EDGES_SQL}),
+    nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+    deg AS (
+        SELECT n.vid, COALESCE(d.c, 0.0) AS score
+        FROM nodes n LEFT JOIN
+             (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src) d
+        ON d.src = n.vid
+    )
+"""
+
+
+def _scale_stdscore_oracle_sql() -> str:
+    return f"""
+    WITH {_SCALE_DEG_SQL},
+    stats AS (SELECT AVG(score) AS m, STDDEV_POP(score) AS sd FROM deg)
+    SELECT vid, ROUND((score - (SELECT m FROM stats))
+                      / (SELECT sd FROM stats), 6)::DOUBLE + 0.0 AS score
+    FROM deg
+    """
+
+
+def _scale_l2norm_oracle_sql() -> str:
+    return f"""
+    WITH {_SCALE_DEG_SQL},
+    stats AS (SELECT SQRT(SUM(score * score)) AS nrm FROM deg)
+    SELECT vid, ROUND(score / (SELECT nrm FROM stats), 6)::DOUBLE AS score
+    FROM deg
+    """
+
+
 K1C_UNROLLED = 6  # coloring rounds mirrored in the oracle
 
 
@@ -2186,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": _q_lpa,
         "graph_triangle_per_node": _q_triangle_per_node,
         "graph_triangle_global": _q_triangle_global,
+        "graph_local_clustering": _q_lcc,
+        "graph_collapse_path": _q_collapse_path,
         "graph_degree": _q_degree,
         "graph_degree_weighted": _q_degree_weighted,
         "dedup_exact": _q_dedup_exact,
@@ -2231,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topo_sort": _q_topo_sort,
         "graph_dfs": _q_dfs,
         "graph_scale_minmax": _q_scale_minmax,
+        "graph_scale_stdscore": _q_scale_stdscore,
+        "graph_scale_l2norm": _q_scale_l2norm,
         "graph_k1coloring": _q_k1coloring,
         "graph_sllpa": _q_sllpa,
         "graph_maxkcut": _q_maxkcut,
@@ -2769,6 +2853,31 @@ def oracle_sql() -> dict[str, str]:
             ON c.vid = n.vid
         """,
         "graph_triangle_global": f"WITH {tri_base} SELECT count(*) AS global_triangles FROM tri",
+        "graph_local_clustering": f"""
+            WITH {tri_base},
+            corners AS (
+                SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+            ),
+            t AS (SELECT vid, count(*) AS cnt FROM corners GROUP BY vid),
+            deg AS (
+                SELECT vid, count(*) AS d FROM (
+                    SELECT a AS vid FROM ce UNION ALL SELECT b FROM ce
+                ) GROUP BY vid
+            ),
+            nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)
+            SELECT n.vid,
+                   ROUND(CASE WHEN COALESCE(d.d, 0) >= 2
+                              THEN 2.0 * COALESCE(t.cnt, 0) / (d.d * (d.d - 1))
+                              ELSE 0.0 END, 6)::DOUBLE AS coefficient
+            FROM nodes n LEFT JOIN deg d ON d.vid = n.vid
+                         LEFT JOIN t ON t.vid = n.vid
+        """,
+        "graph_collapse_path": f"""
+            WITH e AS ({_CS_EDGES_SMALL_SQL})
+            SELECT DISTINCT a.src AS src, b.src AS dst, 1.0::DOUBLE AS weight
+            FROM e a JOIN e b ON a.dst = b.dst
+            WHERE a.src <> b.src
+        """,
         "graph_degree": f"""
             WITH e AS ({_CS_EDGES_SQL}),
             nodes AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)
@@ -2838,6 +2947,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_topo_sort": _topo_sort_oracle_sql(),
         "graph_dfs": _dfs_oracle_sql(),
         "graph_scale_minmax": _scale_minmax_oracle_sql(),
+        "graph_scale_stdscore": _scale_stdscore_oracle_sql(),
+        "graph_scale_l2norm": _scale_l2norm_oracle_sql(),
         "graph_k1coloring": _k1coloring_oracle_sql(),
         "graph_sllpa": _sllpa_oracle_sql(),
         "graph_maxkcut": _maxkcut_oracle_sql(),
