@@ -1769,6 +1769,56 @@ def _scale_l2norm_oracle_sql() -> str:
     """
 
 
+def _q_scale_rest(spark, sf_dir):
+    """gds.scaleProperties — the remaining scaler family in one gate row
+    (L1Norm / Max / Mean / Center / LogScaler / 'none' identity), each
+    applied to the same degree-score column via apply_scaler. Signed
+    outputs (mean, center) get + 0.0 to canonicalize -0.0 after
+    rounding (repo convention)."""
+    from graph_data_science_spark.operators.scaling import apply_scaler
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir))
+    scores = degree_centrality(g).select("vid", "score")
+    out = apply_scaler(scores, "score", "none").select("vid", F.col("score").alias("raw"))
+    for name, scaler, offset, signed in (
+        ("l1", "l1norm", 0.0, False),
+        ("maxabs", "max", 0.0, False),
+        ("meanv", "mean", 0.0, True),
+        ("centered", "center", 0.0, True),
+        ("logv", "log", 1.0, False),
+    ):
+        col = F.round("score", 6)
+        if signed:
+            col = col + F.lit(0.0)
+        out = out.join(
+            apply_scaler(scores, "score", scaler, log_offset=offset)
+            .select("vid", col.alias(name)),
+            "vid",
+        )
+    return out
+
+
+def _scale_rest_oracle_sql() -> str:
+    return f"""
+    WITH {_SCALE_DEG_SQL},
+    stats AS (
+        SELECT SUM(ABS(score)) AS l1, MAX(ABS(score)) AS mxa,
+               AVG(score) AS m, MIN(score) AS mn, MAX(score) AS mx
+        FROM deg
+    )
+    SELECT vid,
+           score AS raw,
+           ROUND(score / (SELECT l1 FROM stats), 6)::DOUBLE AS l1,
+           ROUND(score / (SELECT mxa FROM stats), 6)::DOUBLE AS maxabs,
+           ROUND((score - (SELECT m FROM stats))
+                 / ((SELECT mx FROM stats) - (SELECT mn FROM stats)), 6)::DOUBLE
+               + 0.0 AS meanv,
+           ROUND(score - (SELECT m FROM stats), 6)::DOUBLE + 0.0 AS centered,
+           ROUND(LN(score + 1.0), 6)::DOUBLE AS logv
+    FROM deg
+    """
+
+
 K1C_UNROLLED = 6  # coloring rounds mirrored in the oracle
 
 
@@ -2214,6 +2264,98 @@ def _knn_oracle_sql() -> str:
     """
 
 
+_KNNF_SRC_MOD = 2  # filtered-knn sourceNodeFilter: vec_id % 2 == 0
+_KNNF_TGT_MOD = 3  # filtered-knn targetNodeFilter: vec_id % 3 == 0
+
+
+def _q_knn_filtered(spark, sf_dir):
+    """gds.knn.filtered: queries restricted to even ids, candidate
+    neighbors to ids % 3 == 0, filters pushed BEFORE topK (a query keeps
+    its top-5 among ALLOWED targets only)."""
+    from graph_data_science_spark.operators.similarity import filtered_knn
+
+    vecs = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _KNN_BOUND)
+        .select(F.col("vec_id").alias("vid"), "embedding")
+    )
+    src = vecs.filter(F.col("vid") % _KNNF_SRC_MOD == 0).select("vid")
+    tgt = vecs.filter(F.col("vid") % _KNNF_TGT_MOD == 0).select("vid")
+    return filtered_knn(
+        vecs, "embedding", source_filter=src, target_filter=tgt, k=5, exact=True
+    )
+
+
+def _knn_filtered_oracle_sql() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_KNN_BOUND} AND vec_id % {_KNNF_SRC_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, e.embedding)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))) AS sim
+        FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.vec_id < {_KNN_BOUND}
+           AND e.vec_id % {_KNNF_TGT_MOD} = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4)::DOUBLE AS cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+_NSF_SRC_MOD = 2  # filtered nodeSimilarity sourceNodeFilter: node1 % 2 == 0
+_NSF_TGT_MOD = 3  # filtered nodeSimilarity targetNodeFilter: node2 % 3 == 0
+
+
+def _q_node_similarity_filtered(spark, sf_dir):
+    """gds.nodeSimilarity.filtered on the same custkey<120 slice as
+    graph_node_similarity: sources restricted to even ids, targets to
+    ids % 3 == 0, BEFORE the topK window (a source keeps its top-10
+    among allowed targets)."""
+    from graph_data_science_spark.operators.similarity import filtered_node_similarity
+
+    g = Graph.from_edges(_cs_edges(spark, sf_dir).filter(F.col("src") < _NS_CUST_BOUND))
+    nodes = g.nodes
+    src = nodes.filter(F.col("vid") % _NSF_SRC_MOD == 0)
+    tgt = nodes.filter(F.col("vid") % _NSF_TGT_MOD == 0)
+    out = filtered_node_similarity(g, source_filter=src, target_filter=tgt, top_k=10)
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def _node_similarity_filtered_oracle_sql() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_CS_EDGES_NS_SQL})),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    inter AS MATERIALIZED (
+        SELECT a.src AS node1, b.src AS node2, count(*) AS i
+        FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src
+        WHERE a.src % {_NSF_SRC_MOD} = 0 AND b.src % {_NSF_TGT_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT node1, node2, CAST(i AS DOUBLE) / (d1.deg + d2.deg - i) AS sim
+        FROM inter JOIN deg d1 ON d1.src = inter.node1
+                   JOIN deg d2 ON d2.src = inter.node2
+    ),
+    ranked AS (
+        SELECT node1, node2, sim,
+               row_number() OVER (PARTITION BY node1
+                                  ORDER BY sim DESC, node2 ASC) AS rn
+        FROM scored WHERE sim >= 1e-42
+    )
+    SELECT node1, node2, ROUND(sim, 6)::DOUBLE AS similarity
+    FROM ranked WHERE rn <= 10
+    """
+
+
 def _q_spanning_tree(spark, sf_dir):
     """gds.spanningTree (Boruvka forest + BFS rooting) on the undirected
     4-level tree: the spanning tree of a tree is the tree itself, so the
@@ -2298,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_longest_path": _q_longest_path,
         "graph_all_shortest_paths": _q_all_shortest_paths,
         "graph_node_similarity": _q_node_similarity,
+        "graph_node_similarity_filtered": _q_node_similarity_filtered,
         "graph_closeness": _q_closeness,
         "graph_harmonic": _q_harmonic,
         "graph_scc": _q_scc,
@@ -2308,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fastrp": _q_fastrp,
         "graph_article_rank": _q_article_rank,
         "graph_knn": _q_knn,
+        "graph_knn_filtered": _q_knn_filtered,
         "graph_spanning_tree": _q_spanning_tree,
         "graph_bfs": _q_bfs,
         "graph_topo_sort": _q_topo_sort,
@@ -2315,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scale_minmax": _q_scale_minmax,
         "graph_scale_stdscore": _q_scale_stdscore,
         "graph_scale_l2norm": _q_scale_l2norm,
+        "graph_scale_rest": _q_scale_rest,
         "graph_k1coloring": _q_k1coloring,
         "graph_sllpa": _q_sllpa,
         "graph_maxkcut": _q_maxkcut,
@@ -2932,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_all_shortest_paths": _asp_oracle_sql(),
         "graph_celf": _celf_oracle_sql(),
         "graph_node_similarity": _node_similarity_oracle_sql(),
+        "graph_node_similarity_filtered": _node_similarity_filtered_oracle_sql(),
         "graph_closeness": _pivot_centrality_oracle_sql("closeness"),
         "graph_harmonic": _pivot_centrality_oracle_sql("harmonic"),
         "graph_scc": _scc_oracle_sql(),
@@ -2942,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_fastrp": _fastrp_oracle_sql(),
         "graph_article_rank": _article_rank_oracle_sql(),
         "graph_knn": _knn_oracle_sql(),
+        "graph_knn_filtered": _knn_filtered_oracle_sql(),
         "graph_spanning_tree": _spanning_tree_oracle_sql(),
         "graph_bfs": _bfs_oracle_sql(),
         "graph_topo_sort": _topo_sort_oracle_sql(),
@@ -2949,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scale_minmax": _scale_minmax_oracle_sql(),
         "graph_scale_stdscore": _scale_stdscore_oracle_sql(),
         "graph_scale_l2norm": _scale_l2norm_oracle_sql(),
+        "graph_scale_rest": _scale_rest_oracle_sql(),
         "graph_k1coloring": _k1coloring_oracle_sql(),
         "graph_sllpa": _sllpa_oracle_sql(),
         "graph_maxkcut": _maxkcut_oracle_sql(),

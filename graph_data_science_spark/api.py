@@ -359,6 +359,16 @@ class Algo:
         df = _similarity.knn_nn_descent(self.graph.nodes, property_col, **kw)
         return _mode(df, "cosine_sim", {}, self.catalog, self.graph.name)
 
+    def knn_filtered(self, property_col: str, **kw) -> ModeResult:
+        """gds.knn.filtered — source/target node-set restricted kNN."""
+        df = _similarity.filtered_knn(self.graph.nodes, property_col, **kw)
+        return _mode(df, "cosine_sim", {}, self.catalog, self.graph.name)
+
+    def node_similarity_filtered(self, **kw) -> ModeResult:
+        """gds.nodeSimilarity.filtered — filters pushed before topK."""
+        df = _similarity.filtered_node_similarity(self.graph, **kw)
+        return _mode(df, "similarity", {}, self.catalog, self.graph.name)
+
     def conductance(self, communities: DataFrame) -> ModeResult:
         """gds.conductance per community over a (vid, community) frame."""
         from graph_data_science_spark.operators.modularity import conductance as _cond
