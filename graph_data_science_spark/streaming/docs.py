@@ -19,7 +19,7 @@ instead of min doc_id, the only semantic that exists under unbounded
 input). Near-dup LSH bucketing is stateless per-document and streams
 too; the candidate pair-join stage is batch (stream-stream self-joins
 over unbounded history are unbounded state — run it as a periodic
-compaction over the sink table instead, documented).
+compaction over the sink table instead: compact_near_duplicates below).
 """
 
 from __future__ import annotations
@@ -81,6 +81,100 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "10 minutes") -> D
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["content_sha256"])
     )
+
+
+def compact_near_duplicates(
+    spark: SparkSession,
+    sink_dir: str,
+    state_dir: str | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The periodic batch near-dup compaction over the streaming sink
+    table — the pair-join stage that deliberately does NOT run inside
+    the stream (a stream-stream self-join over unbounded history is
+    unbounded state; see module docstring).
+
+    Reuses the batch-gated LSH machinery verbatim (operators/dedup:
+    minhash_signatures -> band buckets -> jaccard_verify), so the
+    compaction inherits the dedup_minhash_lsh oracle's correctness.
+
+    Incremental: when state_dir is given, the previous compaction's
+    event-time high-watermark is loaded and candidate generation is
+    restricted to pairs touching at least one NEW document (arrival
+    after the watermark) — new-side band rows join the full pool's band
+    buckets, so per-run cost is O(new x bucket density), not O(pool^2),
+    and cross-batch near-dups are still found (old<->new pairs survive;
+    old<->old pairs were emitted by earlier runs). The watermark is
+    advanced afterwards. Returns (a, b, jaccard) verified pairs.
+    """
+    import json
+    import os
+
+    from graph_data_science_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pool = spark.read.parquet(sink_dir)
+    since = None
+    state_path = None
+    if state_dir is not None:
+        state_path = os.path.join(state_dir, "_compaction_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                since = json.load(f).get("max_event_time")
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(pool, text_col, id_col, num_hashes)
+    if since is None:
+        cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    else:
+        new_ids = (
+            pool.filter(F.col("event_time") > F.lit(since).cast("timestamp"))
+            .select(F.col(id_col).alias("doc_id"))
+            .distinct()
+        )
+        banded = []
+        for b in range(bands):
+            sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            banded.append(
+                sigs.select(
+                    "doc_id",
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", sl)).alias("bucket"),
+                )
+            )
+        all_banded = banded[0]
+        for extra in banded[1:]:
+            all_banded = all_banded.unionByName(extra)
+        new_banded = all_banded.join(new_ids, "doc_id", "left_semi")
+        probe = new_banded.select("band", "bucket", F.col("doc_id").alias("a"))
+        base = all_banded.select("band", "bucket", F.col("doc_id").alias("b"))
+        cands = (
+            probe.join(base, ["band", "bucket"])
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+    pairs = jaccard_verify(cands, pool, text_col, id_col, threshold)
+
+    if state_path is not None:
+        hi = pool.agg(F.max("event_time").alias("m")).collect()[0]["m"]
+        os.makedirs(state_dir, exist_ok=True)
+        # materialize the result BEFORE advancing the watermark: a crash
+        # mid-compaction must re-run, not silently skip, this window
+        pairs = pairs.localCheckpoint(eager=True)
+        if hi is not None:
+            with open(state_path, "w") as f:
+                json.dump({"max_event_time": hi.isoformat()}, f)
+    return pairs
 
 
 def start_document_pipeline(

@@ -65,3 +65,58 @@ def test_enrich_documents_batch_parity(spark):
         for r in tx.quality_score(df.select("doc_id", "text")).collect()
     }
     assert q == want
+
+
+BASE_DOC = "the quick brown fox jumps over the lazy dog and it is fine today friends"
+NEAR_DOC = "the quick brown fox jumps over the lazy dog and it is fine today people"
+# deterministic: BASE/NEAR share LSH band 0 under the compaction defaults
+# (md5 string-min minhash, num_hashes=8, bands=2) and token-Jaccard 0.867
+
+
+def _write_doc_batch_at(spark, path, docs, ts):
+    df = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "event_time", F.lit(ts).cast("timestamp")
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_compact_near_duplicates_cross_batch(spark, tmp_path):
+    """Stream two batches, then run the periodic compaction: the near-dup
+    pair that spans the two batches (never co-resident in stream state)
+    is found by the batch LSH pair-join over the sink, and the second
+    incremental run only probes with post-watermark docs."""
+    from graph_data_science_spark.streaming.docs import compact_near_duplicates
+
+    incoming = str(tmp_path / "incoming")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "compaction_state")
+
+    _write_doc_batch_at(
+        spark, incoming,
+        [(0, BASE_DOC), (1, "der hund ist nicht ein fuchs und das ist gut")],
+        "2026-01-01 00:00:00",
+    )
+    q = start_document_pipeline(spark, incoming, out, ckpt)
+    q.awaitTermination(120)
+
+    # first compaction: no near-dups within batch 1; advances watermark
+    first = compact_near_duplicates(spark, out, state_dir=state)
+    assert first.count() == 0
+
+    _write_doc_batch_at(
+        spark, incoming,
+        [(10, NEAR_DOC), (11, "zzz 123 !!!")],
+        "2026-01-01 00:05:00",
+    )
+    q = start_document_pipeline(spark, incoming, out, ckpt)
+    q.awaitTermination(120)
+
+    # incremental compaction probes only the new docs (10, 11) against
+    # the full pool and finds the cross-batch pair (0, 10)
+    pairs = compact_near_duplicates(spark, out, state_dir=state).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 10)}
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+    # third run with no new docs: empty, cheaply
+    assert compact_near_duplicates(spark, out, state_dir=state).count() == 0
