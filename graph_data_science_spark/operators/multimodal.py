@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The container has no image/audio codecs, so DECODE IS STUBBED (a
-deterministic fake derived from the bytes, or NotImplementedError for
-the real-codec entry points) — but the Spark-side plumbing is real and
-tested: schema (binary payload + typed metadata struct), partitioning
-(payload-size-aware repartition so huge blobs don't skew tasks),
-mapInPandas batch iteration (bounded memory per batch), and the UDF
-signatures a real decoder would slot into.
+Image decode is REAL for uncompressed BMP (header math) and 8-bit
+truecolor PNG (stdlib zlib inflate + the five row predictors) — no
+codec library needed. JPEG (DCT + Huffman) and audio/video codecs are
+the remaining stubs: those entry points raise a clear ValueError /
+return deterministic fakes, while the Spark-side plumbing stays real
+and tested: schema (binary payload + typed metadata struct),
+partitioning (payload-size-aware repartition so huge blobs don't skew
+tasks), mapInPandas batch iteration (bounded memory per batch), and
+the UDF signatures a full codec would slot into.
 
 At 100 TB the pattern matters more than the codec: binary columns must
 flow through Arrow in bounded batches; feature extraction is
@@ -49,20 +51,159 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return df
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
+    6 RGBA) to an (H, W, 3|4) uint8 array — stdlib zlib inflate + the
+    five per-row predictors (None/Sub/Up/Average/Paeth) from the PNG
+    spec, no codec library.
+
+    Up (2) unfilters vectorized (uint8 wraparound IS the spec's mod-256
+    add); Sub/Average/Paeth are sequential in the pixel recurrence by
+    definition, fine for the bounded mapInPandas batches this feeds.
+    Unsupported variants (palette, 16-bit, interlaced) raise loudly."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = bytes(payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color_type={ctype} "
+            f"interlace={interlace} (8-bit RGB/RGBA non-interlaced only)"
+        )
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG: inflated stream shorter than H*(W*ch+1)")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = row + prev  # uint8 wraparound = mod-256 add
+        elif f == 1:
+            cur = row
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 3:
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            cur = row
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (int(row[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f} on row {y}")
+        img[y] = cur
+        prev = cur
+    return img.reshape(h, w, ch)
+
+
+def encode_png(img: "np.ndarray", row_filters: list[int] | None = None) -> bytes:
+    """Inverse of decode_png for tests/synthesis: (H, W, 3|4) uint8 ->
+    8-bit truecolor PNG. row_filters optionally forces a specific
+    predictor per row (default all-0/None) so tests can exercise every
+    unfilter path against a known array."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    ctype = 2 if ch == 3 else 6
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.uint8)
+    filters = row_filters or [0] * h
+    parts = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur, f = flat[y], filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            enc = cur - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
+        elif f == 4:
+            enc = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                enc[x] = (int(cur[x]) - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        parts.append(bytes([f]) + enc.tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(parts))
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 array —
-    pure Python/numpy, no codec library. BMP is the one raster format
-    whose spec needs nothing beyond header math (BITMAPINFOHEADER,
-    bottom-up rows, 4-byte row padding); compressed formats (JPEG/PNG)
-    still need an external codec and raise ValueError with a clear
-    message instead of silently guessing."""
+    """Decode an uncompressed 24/32-bit BMP or an 8-bit truecolor PNG to
+    an (H, W, 3|4) uint8 array — pure Python/numpy/zlib, no codec
+    library. BMP needs only header math (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding); PNG is zlib inflate + the five row
+    predictors (decode_png). JPEG still needs an external codec (DCT +
+    Huffman) and raises ValueError with a clear message instead of
+    silently guessing."""
     if payload is None or len(payload) < 54:
-        raise ValueError("not a BMP: payload shorter than the 54-byte header")
+        raise ValueError("not a BMP/PNG: payload shorter than the minimum header")
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if payload[:2] != b"BM":
         head = bytes(payload[:4])
         raise ValueError(
-            f"unsupported image format (magic {head!r}): only uncompressed "
-            "BMP decodes without a codec library; JPEG/PNG need PIL/libjpeg"
+            f"unsupported image format (magic {head!r}): uncompressed BMP and "
+            "8-bit truecolor PNG decode without a codec library; JPEG needs "
+            "PIL/libjpeg"
         )
     data_offset = int.from_bytes(payload[10:14], "little")
     width = int.from_bytes(payload[18:22], "little", signed=True)
@@ -202,21 +343,28 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas decode -> resize -> re-encode over image payloads.
 
-    FULLY REAL for uncompressed BMP (decode_image/encode_bmp are pure
-    header math + numpy — no codec library); other formats raise
-    decode_image's loud ValueError rather than silently passing through.
-    Returns (media_id, payload, width, height) with payload a valid BMP
-    of the target dimensions. Non-image rows are filtered out Spark-side
-    so the parquet scan can prune them by the `kind` metadata column
-    before any payload bytes move."""
+    FULLY REAL for uncompressed BMP and 8-bit truecolor PNG
+    (decode_image/encode_bmp/encode_png are pure header math + zlib +
+    numpy — no codec library); other formats raise decode_image's loud
+    ValueError rather than silently passing through. Each payload is
+    re-encoded in its SOURCE format (PNG in -> PNG out, alpha preserved;
+    BMP in -> BMP out). Returns (media_id, payload, width, height).
+    Non-image rows are filtered out Spark-side so the parquet scan can
+    prune them by the `kind` metadata column before any payload bytes
+    move."""
     out_schema = "media_id long, payload binary, width int, height int"
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for p in pdf["payload"]:
-                img = decode_image(bytes(p) if p is not None else b"")
-                payloads.append(encode_bmp(resize_image(img, width, height)))
+                raw = bytes(p) if p is not None else b""
+                img = decode_image(raw)
+                resized = resize_image(img, width, height)
+                if raw[:8] == _PNG_MAGIC:
+                    payloads.append(encode_png(resized))
+                else:
+                    payloads.append(encode_bmp(resized))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

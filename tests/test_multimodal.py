@@ -17,10 +17,13 @@ def test_media_schema(spark):
 
 
 def test_decode_rejects_compressed_formats():
-    """decode_image is a real BMP decoder now; compressed formats still
-    raise a clear ValueError (no codec library in this container)."""
+    """decode_image is a real BMP+PNG decoder now; JPEG still raises a
+    clear ValueError (DCT+Huffman needs a codec library), as do
+    unsupported PNG variants and truncated PNG streams."""
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\x89PNG" + b"0" * 60)
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 60)  # JPEG magic
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 60)
 
 
 def test_extract_features_deterministic(spark):
@@ -140,3 +143,95 @@ def test_resize_image_identity_and_downscale():
     np.testing.assert_array_equal(resize_image(img, 6, 4), img)  # no-op resize
     half = resize_image(img, 3, 2)
     np.testing.assert_array_equal(half, img[::2][:, ::2])  # exact 2x decimation
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png inverts encode_png for every PNG row predictor
+    (None/Sub/Up/Average/Paeth), RGB and RGBA, mixed filters per row."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for filters in ([0] * 13, [1] * 13, [2] * 13, [3] * 13, [4] * 13,
+                    [0, 1, 2, 3, 4, 3, 2, 1, 0, 4, 2, 1, 3]):
+        out = decode_png(encode_png(img, row_filters=list(filters)))
+        assert (out == img).all(), filters
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, row_filters=[4, 3, 2, 1, 0, 4]))
+    assert out.shape == (6, 5, 4) and (out == rgba).all()
+
+
+def test_png_golden_external():
+    """Golden fixture produced by an external encoder (the canonical
+    smallest red-dot PNG): validates chunk walking, IHDR parsing, zlib
+    inflate, and pixel order against a file our own encoder never made."""
+    import base64
+
+    from graph_data_science_spark.operators.multimodal import decode_image
+
+    golden = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    arr = decode_image(golden)
+    assert arr.shape == (1, 1, 4)
+    assert arr[0, 0].tolist() == [255, 0, 0, 127]
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest
+
+    from graph_data_science_spark.operators.multimodal import decode_png
+
+    def png_with_ihdr(w, h, depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        def chunk(t, d):
+            return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+        idat = zlib.compress(b"\x00" * (1 + w * 3))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(png_with_ihdr(1, 1, 16, 2, 0))  # 16-bit
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(png_with_ihdr(1, 1, 8, 3, 0))  # palette
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(png_with_ihdr(1, 1, 8, 2, 1))  # interlaced
+
+
+def test_resize_images_png_source_format_preserved(spark):
+    """resize_images re-encodes PNG payloads as PNG (alpha preserved)
+    and BMP payloads as BMP, through the same mapInPandas plumbing."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    png_img = rng.integers(0, 256, (8, 6, 4), dtype=np.uint8)
+    bmp_img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(encode_png(png_img))),
+            (1, "image", bytearray(encode_bmp(bmp_img))),
+            (2, "audio", bytearray(b"\x00" * 16)),  # pruned by kind
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert set(got) == {0, 1}
+    out_png = decode_image(bytes(got[0]["payload"]))
+    assert out_png.shape == (4, 4, 4)  # PNG in -> PNG out, alpha kept
+    assert bytes(got[0]["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    out_bmp = decode_image(bytes(got[1]["payload"]))
+    assert out_bmp.shape == (4, 4, 3)
+    assert bytes(got[1]["payload"])[:2] == b"BM"
