@@ -32,17 +32,19 @@ Spark-first design (NOT the reference's shared-memory hogwild):
   (same family as Spark MLlib Word2Vec). Loss is the reference's
   -log sigmoid objective summed over all samples.
 
-Scale ceiling (documented AND guarded, same ceiling as the reference's):
-the model is 2 * n * dim float32 and must fit in driver + executor
-memory — identical to the reference holding both HugeObjectArrays in
-heap. `max_model_nodes` (default 2e6, ~2 GB of model at dim=128) raises
-a loud ValueError past the cap instead of silently OOM-ing a 1e9-node
-job; past that you shard the model (parameter server), which neither
-engine does — use fastRP / graphSage / hashGNN there (their state is
-sharded/reduced). The id map and frequency table are computed
-distributed (plans/ranking.distributed_row_index + an aggregated
-(row, cnt) pull), so driver traffic besides the model itself is one
-O(n)-row two-column frame, bounded by the same cap.
+Scale: TWO backends. The "driver" backend mirrors the reference's
+in-heap ceiling — the model is 2 * n * dim float32, broadcast per
+epoch, capped by `max_model_nodes` (default 2e6, ~2 GB at dim=128)
+with a loud ValueError past the cap. The "sharded" backend
+(operators/node2vec_sharded.py) removes the ceiling entirely: the
+model lives in row-partitioned DataFrames, negatives come from a
+distributed freq^0.75 slot table, and training is gather-join +
+partition-local sequential SGD + mean-combined deltas — no O(n)
+driver state anywhere ("auto" picks driver under the cap for its
+better per-epoch convergence, sharded past it). The id map and
+frequency table are computed distributed in both backends
+(plans/ranking.distributed_row_index + an aggregated (row, cnt)
+frame).
 Embeddings are NOT oracle-portable (seeded-random init + float SGD);
 correctness is asserted structurally (clique members embed closer than
 non-members) like the reference's own cosine tests.
@@ -147,16 +149,29 @@ def node2vec(
     batch_partitions: int | None = None,
     chunk_size: int = 256,
     max_model_nodes: int = 2_000_000,
+    model_backend: str = "auto",
+    minibatch_rounds: int = 4,
 ) -> Node2VecResult:
     """Full node2vec pipeline (Node2Vec.compute). Deterministic for a
     fixed (random_seed, batch_partitions): walks, subsampling and
     negative draws are hash-seeded; partition-local SGD uses a PRNG
     seeded by (random_seed, partition, iteration).
 
-    max_model_nodes: hard cap on node count — the SGNS model
-    (2 * n * dim float32) is driver-resident and broadcast per epoch,
-    the same in-heap ceiling as the reference's HugeObjectArrays; past
-    the cap this raises loudly instead of OOM-ing mid-job."""
+    model_backend: "driver" (partition-local sequential SGD against a
+    broadcast model — best convergence per epoch, capped by
+    max_model_nodes), "sharded" (model as row-partitioned DataFrames,
+    synchronous minibatch SGD — no driver-resident O(n) state, see
+    operators/node2vec_sharded.py), or "auto" (driver while the model
+    fits under max_model_nodes, sharded past it).
+
+    max_model_nodes: cap on the driver backend's node count — its SGNS
+    model (2 * n * dim float32) is driver-resident and broadcast per
+    epoch, the same in-heap ceiling as the reference's
+    HugeObjectArrays; explicit model_backend="driver" past the cap
+    raises loudly instead of OOM-ing mid-job.
+
+    minibatch_rounds: sharded backend only — minibatch rounds per
+    iteration (more rounds = more sequential SGD steps per epoch)."""
     from graph_data_science_spark.sources.sampling import biased_random_walks
 
     spark = graph.edges.sparkSession
@@ -183,25 +198,66 @@ def node2vec(
     idx_df = distributed_row_index(graph.nodes.select("vid"), ["vid"], index_col="row")
     n = idx_df.count()
     d = embedding_dimension
-    if n > max_model_nodes:
+    backend = model_backend
+    if backend == "auto":
+        backend = "driver" if n <= max_model_nodes else "sharded"
+    if backend == "driver" and n > max_model_nodes:
         raise ValueError(
-            f"node2vec's SGNS model is driver-resident (2 * n * dim float32, "
-            f"broadcast per epoch — the reference's in-heap ceiling); got "
-            f"n={n} > max_model_nodes={max_model_nodes}. Raise the cap only "
-            f"with driver memory to match, or use fastRP / graphSage / "
-            f"hashGNN for beyond-driver-scale embeddings (sharded state)"
+            f"node2vec's driver backend holds the SGNS model in driver memory "
+            f"(2 * n * dim float32, broadcast per epoch — the reference's "
+            f"in-heap ceiling); got n={n} > max_model_nodes={max_model_nodes}. "
+            f"Use model_backend='sharded' (or 'auto') for beyond-driver-scale "
+            f"training, or raise the cap with driver memory to match"
         )
 
-    # negative-sampling cumulative distribution over freq^exponent —
-    # aggregated distributed to (row, cnt), vectorized into the dense array
-    freq_pdf = (
+    freq_df = (
         walks.select(F.explode("path").alias("vid"))
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(idx_df, "vid")
         .select("row", "cnt")
-        .toPandas()
     )
+
+    if backend == "sharded":
+        from graph_data_science_spark.operators.node2vec_sharded import (
+            sgns_train_sharded,
+        )
+
+        pairs_rows = (
+            pairs.join(
+                idx_df.select(F.col("vid").alias("center"), F.col("row").alias("c_row")),
+                "center",
+            )
+            .join(
+                idx_df.select(F.col("vid").alias("context"), F.col("row").alias("x_row")),
+                "context",
+            )
+            .select("c_row", "x_row")
+        )
+        emb, losses = sgns_train_sharded(
+            spark,
+            pairs_rows,
+            freq_df,
+            n,
+            d,
+            iterations=iterations,
+            negative_sampling_rate=negative_sampling_rate,
+            negative_sampling_exponent=negative_sampling_exponent,
+            initial_learning_rate=initial_learning_rate,
+            min_learning_rate=min_learning_rate,
+            random_seed=random_seed,
+            minibatch_rounds=minibatch_rounds,
+            num_partitions=batch_partitions,
+            chunk_size=chunk_size,
+        )
+        embeddings = emb.join(idx_df, "row").select("vid", "embedding")
+        walks.unpersist()
+        pairs.unpersist()
+        return Node2VecResult(embeddings=embeddings, loss_per_iteration=losses)
+
+    # driver backend: negative-sampling cumulative distribution over
+    # freq^exponent — pulled to a dense array (bounded by max_model_nodes)
+    freq_pdf = freq_df.toPandas()
     freqs = np.zeros(n, dtype=np.float64)
     freqs[freq_pdf["row"].to_numpy()] = freq_pdf["cnt"].to_numpy().astype(np.float64)
     neg_cum = np.cumsum(freqs ** negative_sampling_exponent)

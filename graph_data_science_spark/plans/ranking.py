@@ -69,6 +69,46 @@ def distributed_row_index(
     )
 
 
+def distributed_exclusive_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running sum of ``val_col`` ordered by ``key_col`` (must
+    be unique), distributed with the same two-phase scheme as
+    distributed_row_index: range-repartition on the key, P per-partition
+    sums to the driver, broadcast offsets + intra-partition window.
+    Returns the input columns plus ``out_col`` = sum of val over all
+    strictly-smaller keys."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    src = df.localCheckpoint(eager=True)
+    ranged = (
+        src.repartitionByRange(p, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = ranged.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    offs, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["__pid"]):
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["s"] or 0)
+    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off bigint")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn("__run", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__run")).cast("long"))
+        .drop("__pid", "__off", "__run")
+    )
+
+
 def distributed_dense_rank(
     df: DataFrame,
     key_col: str,

@@ -113,11 +113,68 @@ def test_node2vec_cluster_structure(spark):
 
 
 def test_node2vec_model_size_guard(spark):
-    """The SGNS model is driver-resident; past max_model_nodes the
-    operator must refuse loudly (not OOM a big job mid-flight)."""
+    """The DRIVER backend's SGNS model is driver-resident; an explicit
+    driver request past max_model_nodes must refuse loudly (not OOM a
+    big job mid-flight). 'auto' switches to sharded instead."""
     import pytest
 
     g = _two_cliques(spark)
     with pytest.raises(ValueError, match="max_model_nodes"):
         node2vec(g, embedding_dimension=8, walks_per_node=1, walk_length=3,
-                 max_model_nodes=4)
+                 max_model_nodes=4, model_backend="driver")
+
+
+def test_node2vec_sharded_cluster_structure(spark):
+    """The sharded backend (model as row-partitioned DataFrames, no
+    driver-resident matrices — operators/node2vec_sharded.py) learns the
+    same two-clique structure as the driver backend: loss decreases and
+    intra-clique cosine beats inter-clique by a wide margin."""
+    g = _two_cliques(spark)
+    res = node2vec(
+        g,
+        embedding_dimension=16,
+        walks_per_node=8,
+        walk_length=12,
+        window_size=4,
+        iterations=8,
+        negative_sampling_rate=6,
+        initial_learning_rate=0.25,
+        min_learning_rate=0.02,
+        positive_sampling_factor=1.0,
+        random_seed=19,
+        batch_partitions=4,
+        model_backend="sharded",
+        minibatch_rounds=2,
+        chunk_size=32,
+    )
+    emb = {r["vid"]: np.array(r["embedding"]) for r in res.embeddings.collect()}
+    assert len(emb) == 12 and all(v.shape == (16,) for v in emb.values())
+    assert len(res.loss_per_iteration) == 8
+    assert res.loss_per_iteration[-1] < res.loss_per_iteration[0]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    intra, inter = [], []
+    for u in emb:
+        for v in emb:
+            if u < v:
+                same = (u < 6) == (v < 6)
+                (intra if same else inter).append(cos(emb[u], emb[v]))
+    assert np.mean(intra) > np.mean(inter) + 0.2, (
+        f"intra {np.mean(intra):.3f} vs inter {np.mean(inter):.3f}"
+    )
+
+
+def test_node2vec_auto_backend_switches_past_cap(spark):
+    """model_backend='auto' must fall over to the sharded trainer past
+    max_model_nodes instead of raising (the guard now only protects an
+    EXPLICIT driver-backend request)."""
+    g = _two_cliques(spark)
+    res = node2vec(
+        g, embedding_dimension=8, walks_per_node=2, walk_length=4,
+        window_size=2, iterations=1, negative_sampling_rate=2,
+        positive_sampling_factor=1.0, random_seed=5, batch_partitions=2,
+        max_model_nodes=4, minibatch_rounds=1, chunk_size=32,
+    )
+    assert res.embeddings.count() == 12
