@@ -11,9 +11,15 @@ Reference (specification, not implementation):
   pipeline/.../nodePipeline/classification + regression
   model-catalog-api (ModelCatalog: named trained models)
 
-Declared out of scope (COVERAGE.md): autotuning (AutoTuningConfig.java)
-and random-forest / MLP model candidates — the logistic / linear heads
-in ml/logreg.py are the implemented model family.
+Model candidates (reference: addLogisticRegression / addRandomForest on
+the pipeline, ml/ml-algo/.../models/randomforest/RandomForestClassifierTrainer.java):
+LP and NC pipelines accept multiple candidates via add_logistic_regression /
+add_random_forest; train() fits every candidate and keeps the best by the
+pipeline's main metric (AUC / accuracy) — the reference's model-selection
+semantics with the candidate grid enumerated explicitly (full
+AutoTuningConfig hyperparameter *search* stays out of scope, COVERAGE.md;
+MLP candidates likewise — logistic, linear and random-forest are the
+implemented families).
 
 The facade executes each node-property step (an operator from the algo
 surface: fastRP / hashGNN / pageRank / degree) against the train graph,
@@ -96,6 +102,19 @@ def _run_node_property_step(graph: Graph, procedure: str, config: dict) -> DataF
 class _TrainingPipeline:
     name: str
     node_property_steps: list[tuple[str, dict]] = field(default_factory=list)
+    model_candidates: list[dict] = field(default_factory=list)
+
+    def add_logistic_regression(self, **config) -> "_TrainingPipeline":
+        """gds.beta.pipeline.*.addLogisticRegression — register a model
+        candidate; train() fits all candidates and keeps the best."""
+        self.model_candidates.append({"model_family": "logistic", **config})
+        return self
+
+    def add_random_forest(self, **config) -> "_TrainingPipeline":
+        """gds.beta.pipeline.*.addRandomForest (classification families;
+        ml/randomforest.py distributed histogram trees)."""
+        self.model_candidates.append({"model_family": "randomforest", **config})
+        return self
 
     def add_node_property(self, procedure: str, **config) -> "_TrainingPipeline":
         """gds.beta.pipeline.*.addNodeProperty — an algo producing node
@@ -152,17 +171,24 @@ class LinkPredictionPipeline(_TrainingPipeline):
 
         embeddings = self._node_features(graph).withColumnRenamed(
             "features", "embedding"
-        )
-        model = link_prediction_train(
-            graph, embeddings,
-            feature_steps=self.feature_steps or ["hadamard"],
-            test_fraction=self.test_fraction,
-            negative_sampling_ratio=self.negative_sampling_ratio,
-            **train_kw,
-        )
+        ).persist()
+        best, trials = None, []
+        for cand in self.model_candidates or [{"model_family": "logistic"}]:
+            model = link_prediction_train(
+                graph, embeddings,
+                feature_steps=self.feature_steps or ["hadamard"],
+                test_fraction=self.test_fraction,
+                negative_sampling_ratio=self.negative_sampling_ratio,
+                **{**cand, **train_kw},
+            )
+            trials.append({"config": dict(cand), "test_auc": model.test_auc})
+            if best is None or model.test_auc > best.test_auc:
+                best = model
+        embeddings.unpersist()
+        best.metrics.append({"candidates": trials})
         if model_catalog is not None:
-            model_catalog.register(model_name, model)
-        return model
+            model_catalog.register(model_name, best)
+        return best
 
 
 @dataclass
@@ -181,13 +207,20 @@ class NodeClassificationPipeline(_TrainingPipeline):
 
         nodes = self._node_features(graph).join(
             graph.nodes.select("vid", F.col(label_col).alias("label")), "vid"
-        )
-        model = node_classification_train(
-            nodes, test_fraction=self.test_fraction, **train_kw
-        )
+        ).persist()
+        best, trials = None, []
+        for cand in self.model_candidates or [{"model_family": "logistic"}]:
+            model = node_classification_train(
+                nodes, test_fraction=self.test_fraction, **{**cand, **train_kw}
+            )
+            trials.append({"config": dict(cand), "test_metric": model.test_metric})
+            if best is None or model.test_metric > best.test_metric:
+                best = model
+        nodes.unpersist()
+        best.candidate_metrics = trials
         if model_catalog is not None:
-            model_catalog.register(model_name, model)
-        return model
+            model_catalog.register(model_name, best)
+        return best
 
 
 @dataclass

@@ -82,6 +82,17 @@ class LinkPredictionModel:
     def predict(self, pairs: DataFrame) -> DataFrame:
         """(src, dst) -> + probability."""
         featured = link_features(pairs, self.embeddings, self.feature_steps)
+        if getattr(self.model, "kind", "") == "rf_class":
+            from graph_data_science_spark.ml import randomforest as rf
+
+            return featured.select("src", "dst", "features").mapInPandas(
+                rf.predict_expr(self.model),
+                "src long, dst long, predicted_class long, "
+                "probabilities array<double>",
+            ).select(
+                "src", "dst",
+                F.element_at("probabilities", 2).alias("probability"),
+            )
         return featured.select("src", "dst", "features").mapInPandas(
             logreg.predict_expr(self.model),
             "src long, dst long, probability double",
@@ -123,11 +134,17 @@ def link_prediction_train(
     learning_rate: float = 0.2,
     l2_penalty: float = 0.0,
     seed: int = 42,
+    model_family: str = "logistic",
+    num_trees: int = 10,
+    max_depth: int = 5,
 ) -> LinkPredictionModel:
     """LinkPredictionTrain.java re-expressed: hash-split positive edges
     into train/test, draw `ratio` hash-deterministic negative non-edges
-    per positive, train the logistic model on the configured link feature
-    steps, and report test AUC."""
+    per positive, train the model head on the configured link feature
+    steps, and report test AUC. model_family: "logistic" (the reference
+    default head here) or "randomforest" (the reference's default LP
+    candidate family — ml/ml-algo/.../models/randomforest/), trained by
+    ml/randomforest.py's distributed histogram builder."""
     if feature_steps is None:
         feature_steps = ["hadamard"]
     spark = graph.edges.sparkSession
@@ -192,16 +209,35 @@ def link_prediction_train(
         .unionByName(neg.select("src", "dst", "_test").withColumn("y", F.lit(0.0)))
     )
     featured = link_features(labeled, embeddings, feature_steps).persist()
-    train = featured.filter(~F.col("_test")).select("features", "y")
-    model = logreg.fit(
-        train, kind="binary", epochs=epochs, learning_rate=learning_rate,
-        l2_penalty=l2_penalty, seed=seed,
-    )
     test = featured.filter(F.col("_test"))
-    scored = test.select("src", "dst", "y", "features").mapInPandas(
-        logreg.predict_expr(model),
-        "src long, dst long, y double, probability double",
-    )
+    if model_family == "randomforest":
+        from graph_data_science_spark.ml import randomforest as rf
+
+        train = featured.filter(~F.col("_test")).select(
+            F.xxhash64("src", "dst").alias("sid"), "features", "y"
+        )
+        model = rf.fit_random_forest_classifier(
+            train, num_classes=2, num_trees=num_trees, max_depth=max_depth,
+            seed=seed,
+        )
+        scored = test.select("src", "dst", "y", "features").mapInPandas(
+            rf.predict_expr(model),
+            "src long, dst long, y double, predicted_class long, "
+            "probabilities array<double>",
+        ).select(
+            "src", "dst", "y",
+            F.element_at("probabilities", 2).alias("probability"),
+        )
+    else:
+        train = featured.filter(~F.col("_test")).select("features", "y")
+        model = logreg.fit(
+            train, kind="binary", epochs=epochs, learning_rate=learning_rate,
+            l2_penalty=l2_penalty, seed=seed,
+        )
+        scored = test.select("src", "dst", "y", "features").mapInPandas(
+            logreg.predict_expr(model),
+            "src long, dst long, y double, probability double",
+        )
     auc = _auc(scored)
     tp = test.filter(F.col("y") == 1.0).count()
     featured.unpersist()
@@ -219,12 +255,19 @@ class NodeModel:
     model: logreg.TrainedModel
     classes: list | None
     test_metric: float              # accuracy (classification) / R2 (regression)
+    candidate_metrics: list = field(default_factory=list)  # catalog model selection
 
     def predict(self, nodes: DataFrame) -> DataFrame:
         """(vid, features) -> predictions for the model kind."""
-        if self.model.kind == "softmax":
+        if self.model.kind in ("softmax", "rf_class"):
+            if self.model.kind == "rf_class":
+                from graph_data_science_spark.ml import randomforest as rf
+
+                fn = rf.predict_expr(self.model)
+            else:
+                fn = logreg.predict_expr(self.model)
             out = nodes.select("vid", "features").mapInPandas(
-                logreg.predict_expr(self.model),
+                fn,
                 "vid long, predicted_class long, probabilities array<double>",
             )
             if self.classes is not None:
@@ -246,9 +289,15 @@ def node_classification_train(
     learning_rate: float = 0.2,
     l2_penalty: float = 0.0,
     seed: int = 42,
+    model_family: str = "logistic",
+    num_trees: int = 10,
+    max_depth: int = 5,
 ) -> NodeModel:
-    """nodePipeline/classification: softmax logistic over node features;
-    hash-deterministic train/test split; test accuracy reported."""
+    """nodePipeline/classification over node features, hash-deterministic
+    train/test split, test accuracy reported. model_family: "logistic"
+    (softmax head) or "randomforest" (distributed histogram trees,
+    ml/randomforest.py — the reference's RandomForestClassifierTrainer
+    family)."""
     classes = [r["label"] for r in
                nodes.select("label").distinct().orderBy("label").collect()]
     cls_lit = F.array(*[F.lit(c) for c in classes])
@@ -259,14 +308,27 @@ def node_classification_train(
         F.pmod(F.abs(F.xxhash64(F.lit(seed), F.col("vid"))), F.lit(1000))
         < F.lit(int(test_fraction * 1000)),
     ).persist()
-    model = logreg.fit(
-        df.filter(~F.col("_test")).select("features", "y"),
-        kind="softmax", num_classes=len(classes), epochs=epochs,
-        learning_rate=learning_rate, l2_penalty=l2_penalty, seed=seed,
-    )
+    if model_family == "randomforest":
+        from graph_data_science_spark.ml import randomforest as rf
+
+        model = rf.fit_random_forest_classifier(
+            df.filter(~F.col("_test")).select(
+                F.col("vid").alias("sid"), "features", "y"
+            ),
+            num_classes=len(classes), num_trees=num_trees,
+            max_depth=max_depth, seed=seed,
+        )
+        pred_fn = rf.predict_expr(model)
+    else:
+        model = logreg.fit(
+            df.filter(~F.col("_test")).select("features", "y"),
+            kind="softmax", num_classes=len(classes), epochs=epochs,
+            learning_rate=learning_rate, l2_penalty=l2_penalty, seed=seed,
+        )
+        pred_fn = logreg.predict_expr(model)
     test = df.filter(F.col("_test"))
     pred = test.select("vid", "y", "features").mapInPandas(
-        logreg.predict_expr(model),
+        pred_fn,
         "vid long, y double, predicted_class long, probabilities array<double>",
     )
     agg = pred.agg(
