@@ -11,15 +11,20 @@ Reference (specification, not implementation):
   pipeline/.../nodePipeline/classification + regression
   model-catalog-api (ModelCatalog: named trained models)
 
-Model candidates (reference: addLogisticRegression / addRandomForest on
-the pipeline, ml/ml-algo/.../models/randomforest/RandomForestClassifierTrainer.java):
+Model candidates (reference: addLogisticRegression / addRandomForest /
+addMLP on the pipeline; ml/ml-algo/.../models/randomforest/
+RandomForestClassifierTrainer.java, mlp/MLPClassifierTrainer.java):
 LP and NC pipelines accept multiple candidates via add_logistic_regression /
-add_random_forest; train() fits every candidate and keeps the best by the
-pipeline's main metric (AUC / accuracy) — the reference's model-selection
-semantics with the candidate grid enumerated explicitly (full
-AutoTuningConfig hyperparameter *search* stays out of scope, COVERAGE.md;
-MLP candidates likewise — logistic, linear and random-forest are the
-implemented families).
+add_random_forest / add_mlp; train() fits every candidate and keeps the
+best by the pipeline's main metric (AUC / accuracy) — the reference's
+model-selection semantics. Autotuning (AutoTuningConfig.java +
+RandomSearch.java): a candidate hyperparameter given as
+{"range": [lo, hi]} marks the candidate TUNABLE; configure_auto_tuning
+(max_trials, default 10 like AutoTuningConfig.MAX_TRIALS) caps how many
+concrete configs are sampled from the tunable candidates (round-robin,
+seeded; log-uniform for learning_rate / l2_penalty / tolerance — the
+params the reference marks LogScale — uniform otherwise, integer-valued
+when both bounds are ints). Concrete candidates always train.
 
 The facade executes each node-property step (an operator from the algo
 surface: fastRP / hashGNN / pageRank / degree) against the train graph,
@@ -33,6 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,15 +104,58 @@ def _run_node_property_step(graph: Graph, procedure: str, config: dict) -> DataF
     )
 
 
+_LOG_SCALE_PARAMS = {"learning_rate", "l2_penalty", "tolerance"}
+
+
+def _is_range(v) -> bool:
+    return isinstance(v, dict) and "range" in v
+
+
+def _sample_config(cand: dict, rng) -> dict:
+    """One concrete trial from a tunable candidate (RandomSearch.java)."""
+    out = {}
+    for k, v in cand.items():
+        if not _is_range(v):
+            out[k] = v
+            continue
+        lo, hi = v["range"]
+        if isinstance(lo, int) and isinstance(hi, int):
+            out[k] = int(rng.integers(lo, hi + 1))
+        elif k in _LOG_SCALE_PARAMS and lo > 0:
+            out[k] = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        else:
+            out[k] = float(rng.uniform(lo, hi))
+    return out
+
+
+def _expand_candidates(candidates: list[dict], max_trials: int,
+                       seed: int) -> list[dict]:
+    """Concrete candidates pass through; tunable ones (any {"range":..}
+    param) are sampled round-robin up to max_trials total trials."""
+    if not candidates:
+        return [{"model_family": "logistic"}]
+    concrete = [c for c in candidates if not any(_is_range(v) for v in c.values())]
+    tunable = [c for c in candidates if any(_is_range(v) for v in c.values())]
+    if not tunable:
+        return concrete
+    rng = np.random.default_rng(seed)
+    trials = [_sample_config(tunable[i % len(tunable)], rng)
+              for i in range(max_trials)]
+    return concrete + trials
+
+
 @dataclass
 class _TrainingPipeline:
     name: str
     node_property_steps: list[tuple[str, dict]] = field(default_factory=list)
     model_candidates: list[dict] = field(default_factory=list)
+    max_trials: int = 10             # AutoTuningConfig.MAX_TRIALS default
+    tuning_seed: int = 42
 
     def add_logistic_regression(self, **config) -> "_TrainingPipeline":
         """gds.beta.pipeline.*.addLogisticRegression — register a model
-        candidate; train() fits all candidates and keeps the best."""
+        candidate; train() fits all candidates and keeps the best.
+        Any param may be {"range": [lo, hi]} to make it tunable."""
         self.model_candidates.append({"model_family": "logistic", **config})
         return self
 
@@ -115,6 +164,24 @@ class _TrainingPipeline:
         ml/randomforest.py distributed histogram trees)."""
         self.model_candidates.append({"model_family": "randomforest", **config})
         return self
+
+    def add_mlp(self, **config) -> "_TrainingPipeline":
+        """gds.alpha.pipeline.*.addMLP (ml/mlp.py distributed backprop;
+        hidden_layer_sizes tuple, ReLU + softmax head)."""
+        self.model_candidates.append({"model_family": "mlp", **config})
+        return self
+
+    def configure_auto_tuning(self, max_trials: int = 10) -> "_TrainingPipeline":
+        """gds.alpha.pipeline.*.configureAutoTuning (AutoTuningConfig.java):
+        cap on sampled trials from tunable candidates."""
+        if max_trials < 1:
+            raise ValueError("max_trials must be >= 1")
+        self.max_trials = max_trials
+        return self
+
+    def _trial_configs(self) -> list[dict]:
+        return _expand_candidates(self.model_candidates, self.max_trials,
+                                  self.tuning_seed)
 
     def add_node_property(self, procedure: str, **config) -> "_TrainingPipeline":
         """gds.beta.pipeline.*.addNodeProperty — an algo producing node
@@ -173,7 +240,7 @@ class LinkPredictionPipeline(_TrainingPipeline):
             "features", "embedding"
         ).persist()
         best, trials = None, []
-        for cand in self.model_candidates or [{"model_family": "logistic"}]:
+        for cand in self._trial_configs():
             model = link_prediction_train(
                 graph, embeddings,
                 feature_steps=self.feature_steps or ["hadamard"],
@@ -209,7 +276,7 @@ class NodeClassificationPipeline(_TrainingPipeline):
             graph.nodes.select("vid", F.col(label_col).alias("label")), "vid"
         ).persist()
         best, trials = None, []
-        for cand in self.model_candidates or [{"model_family": "logistic"}]:
+        for cand in self._trial_configs():
             model = node_classification_train(
                 nodes, test_fraction=self.test_fraction, **{**cand, **train_kw}
             )

@@ -8,11 +8,10 @@ References (specification, not implementation):
     train/LinkPredictionTrain.java                      — split, negative
       sampling, logistic model, evaluation
   pipeline/.../nodePipeline/classification/... , regression/...
-  Non-goals kept out (documented): the pipeline CATALOG surface
-  (gds.beta.pipeline.* stored procedures), autotuning
-  (AutoTuningConfig.java), random-forest/MLP model candidates — the
-  trained-pipeline semantics (feature steps -> split -> train -> evaluate
-  -> predict) are what a user runs, and are all here.
+  The pipeline CATALOG surface lives in ml/catalog.py (named pipelines,
+  model candidates, AutoTuningConfig random search); the model families
+  a candidate can pick are logistic/linear (ml/logreg.py), random
+  forest (ml/randomforest.py) and MLP (ml/mlp.py).
 
 Spark-first: feature vectors are built as DataFrame ops (zip_with /
 aggregate over embedding arrays), splits and negative samples are pure
@@ -82,11 +81,15 @@ class LinkPredictionModel:
     def predict(self, pairs: DataFrame) -> DataFrame:
         """(src, dst) -> + probability."""
         featured = link_features(pairs, self.embeddings, self.feature_steps)
-        if getattr(self.model, "kind", "") == "rf_class":
-            from graph_data_science_spark.ml import randomforest as rf
+        kind = getattr(self.model, "kind", "")
+        if kind in ("rf_class", "mlp_class"):
+            if kind == "rf_class":
+                from graph_data_science_spark.ml import randomforest as head
+            else:
+                from graph_data_science_spark.ml import mlp as head
 
             return featured.select("src", "dst", "features").mapInPandas(
-                rf.predict_expr(self.model),
+                head.predict_expr(self.model),
                 "src long, dst long, predicted_class long, "
                 "probabilities array<double>",
             ).select(
@@ -137,14 +140,16 @@ def link_prediction_train(
     model_family: str = "logistic",
     num_trees: int = 10,
     max_depth: int = 5,
+    hidden_layer_sizes: tuple = (16,),
 ) -> LinkPredictionModel:
     """LinkPredictionTrain.java re-expressed: hash-split positive edges
     into train/test, draw `ratio` hash-deterministic negative non-edges
     per positive, train the model head on the configured link feature
     steps, and report test AUC. model_family: "logistic" (the reference
-    default head here) or "randomforest" (the reference's default LP
-    candidate family — ml/ml-algo/.../models/randomforest/), trained by
-    ml/randomforest.py's distributed histogram builder."""
+    default head here), "randomforest" (the reference's default LP
+    candidate family — ml/ml-algo/.../models/randomforest/, trained by
+    ml/randomforest.py's distributed histogram builder) or "mlp"
+    (MLPClassifierTrainer.java — ml/mlp.py distributed backprop)."""
     if feature_steps is None:
         feature_steps = ["hadamard"]
     spark = graph.edges.sparkSession
@@ -228,6 +233,23 @@ def link_prediction_train(
             "src", "dst", "y",
             F.element_at("probabilities", 2).alias("probability"),
         )
+    elif model_family == "mlp":
+        from graph_data_science_spark.ml import mlp as mlpmod
+
+        train = featured.filter(~F.col("_test")).select("features", "y")
+        model = mlpmod.fit_mlp_classifier(
+            train, num_classes=2, hidden_layer_sizes=hidden_layer_sizes,
+            epochs=epochs, learning_rate=learning_rate,
+            l2_penalty=l2_penalty, seed=seed,
+        )
+        scored = test.select("src", "dst", "y", "features").mapInPandas(
+            mlpmod.predict_expr(model),
+            "src long, dst long, y double, predicted_class long, "
+            "probabilities array<double>",
+        ).select(
+            "src", "dst", "y",
+            F.element_at("probabilities", 2).alias("probability"),
+        )
     else:
         train = featured.filter(~F.col("_test")).select("features", "y")
         model = logreg.fit(
@@ -259,11 +281,15 @@ class NodeModel:
 
     def predict(self, nodes: DataFrame) -> DataFrame:
         """(vid, features) -> predictions for the model kind."""
-        if self.model.kind in ("softmax", "rf_class"):
+        if self.model.kind in ("softmax", "rf_class", "mlp_class"):
             if self.model.kind == "rf_class":
                 from graph_data_science_spark.ml import randomforest as rf
 
                 fn = rf.predict_expr(self.model)
+            elif self.model.kind == "mlp_class":
+                from graph_data_science_spark.ml import mlp as mlpmod
+
+                fn = mlpmod.predict_expr(self.model)
             else:
                 fn = logreg.predict_expr(self.model)
             out = nodes.select("vid", "features").mapInPandas(
@@ -292,12 +318,13 @@ def node_classification_train(
     model_family: str = "logistic",
     num_trees: int = 10,
     max_depth: int = 5,
+    hidden_layer_sizes: tuple = (16,),
 ) -> NodeModel:
     """nodePipeline/classification over node features, hash-deterministic
     train/test split, test accuracy reported. model_family: "logistic"
-    (softmax head) or "randomforest" (distributed histogram trees,
+    (softmax head), "randomforest" (distributed histogram trees,
     ml/randomforest.py — the reference's RandomForestClassifierTrainer
-    family)."""
+    family) or "mlp" (ml/mlp.py — MLPClassifierTrainer.java)."""
     classes = [r["label"] for r in
                nodes.select("label").distinct().orderBy("label").collect()]
     cls_lit = F.array(*[F.lit(c) for c in classes])
@@ -319,6 +346,16 @@ def node_classification_train(
             max_depth=max_depth, seed=seed,
         )
         pred_fn = rf.predict_expr(model)
+    elif model_family == "mlp":
+        from graph_data_science_spark.ml import mlp as mlpmod
+
+        model = mlpmod.fit_mlp_classifier(
+            df.filter(~F.col("_test")).select("features", "y"),
+            num_classes=len(classes), hidden_layer_sizes=hidden_layer_sizes,
+            epochs=epochs, learning_rate=learning_rate,
+            l2_penalty=l2_penalty, seed=seed,
+        )
+        pred_fn = mlpmod.predict_expr(model)
     else:
         model = logreg.fit(
             df.filter(~F.col("_test")).select("features", "y"),

@@ -230,27 +230,55 @@ def ivf_topk(
     )
 
 
+def auto_planes(n: int, target_bucket_rows: int = 64) -> int:
+    """planes such that n / 2^planes ~= target_bucket_rows. Within-bucket
+    pair volume is quadratic in bucket occupancy, so planes MUST grow
+    with log2(n) — a fixed plane count that is fine at 2k vectors
+    (64 buckets, ~30 rows each) produces ~3k-row buckets at 200k vectors
+    and ~625M candidate pairs (measured: >200 GB of sort spill). Callers
+    at unknown scale should pass planes=None and let this pick."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 1) / max(target_bucket_rows, 1))))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    planes: int = 8,
+    planes: int | None = 8,
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, via LSH bucketing
-    (pairs must collide in some table). Returns (a, b, cosine_sim)."""
+    (pairs must collide in some table). Returns (a, b, cosine_sim).
+
+    planes=None auto-scales the bucket count to the input size
+    (auto_planes — one extra count() of the id column).
+
+    Scale shape: cosine is computed and the threshold applied INSIDE
+    each table's bucket join, so the only shuffled pair rows are the
+    narrow (a, b, cosine_sim) survivors; the cross-table dedup never
+    sees embedding arrays. (The first version deduped wide rows with
+    both vectors attached — at 200k vectors / 64 buckets that sorted
+    ~625M ~1 KB rows and died spilling; same results, ~1000x the IO.)"""
+    if planes is None:
+        planes = auto_planes(df.count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = None
     for t in range(tables):
         b = base.withColumn("bucket", lsh_bucket(F.col("v"), dim, planes, t))
         left = b.select(F.col("bucket"), F.col("id").alias("a"), F.col("v").alias("va"))
         right = b.select(F.col("bucket"), F.col("id").alias("b"), F.col("v").alias("vb"))
-        j = left.join(right, "bucket").filter(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
+        j = (
+            left.join(right, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select(
+                "a", "b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
         pairs = j if pairs is None else pairs.unionByName(j)
-    pairs = pairs.dropDuplicates(["a", "b"])
-    return (
-        pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return pairs.dropDuplicates(["a", "b"])

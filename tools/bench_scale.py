@@ -186,8 +186,11 @@ def build_queries():
         "ann_topk_cosine": lambda c: ann.brute_force_topk(
             c["vecs"], c["vecs"].filter(F.col("vec_id") < 10), k=5
         ).count(),
+        # planes=None -> auto_planes: the bucket count MUST scale with n
+        # (fixed planes=6 at 200k vecs = ~3k-row buckets = ~625M wide
+        # candidate pairs = >200 GB spill, measured 2026-08-18)
         "ann_embedding_neardup": lambda c: ann.embedding_near_duplicates(
-            c["vecs"], dim=EMB_DIM, threshold=0.35, planes=6, tables=2
+            c["vecs"], dim=EMB_DIM, threshold=0.35, planes=None, tables=2
         ).count(),
     }
 
