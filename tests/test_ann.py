@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.ann import (
+    auto_planes,
     brute_force_topk,
     centroid_components,
     embedding_near_duplicates,
@@ -92,3 +93,21 @@ def test_embedding_near_duplicates(spark, vecs):
              embedding_near_duplicates(vecs, dim=DIM, threshold=0.999).collect()}
     assert (0, 40) in pairs and (0, 41) in pairs and (40, 41) in pairs
     assert all(a in (0, 40, 41) and b in (0, 40, 41) for a, b in pairs)
+
+
+def test_auto_planes_scales_with_log_n():
+    # occupancy target 64 rows/bucket: n/2^planes ~= 64
+    assert auto_planes(2_000) == 5
+    assert auto_planes(200_000) == 12
+    assert auto_planes(200_000_000) == 22
+    assert auto_planes(1) == 4        # floor
+    # planes=None picks auto_planes(count) and must agree with the same
+    # planes passed explicitly (pure config resolution, same plan)
+
+
+def test_near_duplicates_auto_planes_matches_explicit(spark, vecs):
+    auto = sorted(tuple(r) for r in embedding_near_duplicates(
+        vecs, dim=DIM, threshold=0.999, planes=None).collect())
+    explicit = sorted(tuple(r) for r in embedding_near_duplicates(
+        vecs, dim=DIM, threshold=0.999, planes=auto_planes(42)).collect())
+    assert auto == explicit

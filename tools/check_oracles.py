@@ -2,13 +2,21 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare
 row-count, schema (column names), and an order-insensitive value hash.
 
-The Spark side is the critical path (operators toggle session confs —
-AQE off inside iterative loops — so Spark queries must run one at a
-time). The DuckDB oracle + hash compare run PIPELINED on one worker
-thread: while Spark executes query i+1, the worker replays oracle i.
-That takes the whole DuckDB wall (the unrolled celf/sllpa/maxkcut/
-astar replays are seconds each) off the gate's critical path without
-any risk to determinism. ORACLE_SEQ=1 restores the sequential mode.
+Two levels of parallelism, neither of which touches determinism:
+
+- WITHIN a process, the Spark side is the critical path (operators
+  toggle session confs — AQE off inside iterative loops — so Spark
+  queries must run one at a time per session). The DuckDB oracle +
+  hash compare run PIPELINED on one worker thread: while Spark executes
+  query i+1, the worker replays oracle i. ORACLE_SEQ=1 restores the
+  fully sequential mode.
+- ACROSS queries, a full-gate run shards the query list over
+  ORACLE_PROCS worker processes (default 2), each with its OWN
+  SparkSession + DuckDB — session-conf toggling stays per-process, and
+  every query still runs exactly once. Bins are balanced by measured
+  per-query walls (LPT greedy), so louvain/node2vec/leiden/steiner
+  spread across workers. ORACLE_PROCS=1 restores one process.
+  Explicitly-named queries (argv) always run in-process.
 
 Usage: python tools/check_oracles.py [query ...]
 """
@@ -18,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import os
 import queue
+import subprocess
 import sys
 import threading
 import time
@@ -31,6 +40,37 @@ from graph_data_science_spark.session import get_spark
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Measured Spark seconds per query (round-5 full gate, local cores=8) —
+# only used to BALANCE the process shards; unknown names default to 3 s.
+_WEIGHTS = {
+    "graph_louvain": 42.7, "graph_node2vec": 34.8, "graph_leiden": 29.3,
+    "graph_steiner": 25.2, "graph_pagerank": 18.0, "graph_astar": 13.2,
+    "graph_k_spanning_tree": 13.0, "graph_longest_path": 9.6,
+    "graph_spanning_tree": 8.7, "graph_betweenness_tree": 8.5,
+    "graph_maxkcut": 8.4, "graph_graphsage": 8.4, "graph_eigenvector": 7.5,
+    "graph_triangle_per_node": 6.7, "graph_scc": 5.8, "graph_bellman": 5.2,
+    "graph_sssp_paths": 5.1, "graph_hits": 4.9, "graph_fastrp": 4.9,
+    "graph_sample_rwr": 4.7, "dedup_minhash_lsh": 4.6, "graph_closeness": 4.5,
+    "graph_all_shortest_paths": 4.4, "graph_kcore": 4.2,
+    "graph_triangle_global": 3.9, "graph_local_clustering": 3.9,
+    "graph_harmonic": 3.9, "graph_celf": 3.8, "graph_topo_sort": 3.8,
+    "graph_pagerank_weighted": 3.6, "multimodal_features": 3.3,
+    "ann_lsh_topk": 3.2, "graph_lpa": 3.0, "graph_sllpa": 2.9,
+    "graph_knn": 2.8, "graph_hashgnn": 2.8, "graph_wcc_threshold": 2.7,
+    "graph_kmeans": 2.7, "graph_wcc": 2.4, "graph_modularity": 2.4,
+    "graph_article_rank": 2.4, "graph_scale_rest": 2.4,
+    "ann_neardup_exact_small": 2.3, "ann_ivf_topk": 2.3, "graph_bfs": 2.1,
+    "ann_embedding_neardup": 1.9, "graph_k1coloring": 1.9, "dedup_simhash": 1.6,
+    "graph_node_similarity": 1.6, "graph_dfs": 1.5, "dedup_ngram_jaccard": 1.4,
+    "graph_node_similarity_filtered": 1.3, "graph_collapse_path": 1.2,
+    "graph_conductance": 1.2, "graph_degree": 1.1, "graph_scale_minmax": 1.1,
+    "graph_knn_filtered": 0.9, "graph_scale_stdscore": 0.9,
+    "graph_scale_l2norm": 0.9, "graph_degree_weighted": 0.8,
+    "ann_topk_cosine": 0.7, "docs_enrich": 0.6, "text_quality": 0.4,
+    "dedup_exact": 0.3, "text_langid": 0.3, "text_token_count": 0.2,
+    "text_fingerprint": 0.2,
+}
 
 
 def normalize(rows, cols):
@@ -95,9 +135,8 @@ def _compare_one(con, name, sql, srows, scols, spark_s, failures):
         print("   oracle-only:", only_o, flush=True)
 
 
-def main():
-    only = set(sys.argv[1:])
-    wall0 = time.time()
+def run_queries(only: set[str] | None) -> list[str]:
+    """Run (a subset of) the gate in THIS process; returns failures."""
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8,
                       driver_memory="8g")
     con = duckdb.connect()
@@ -149,9 +188,50 @@ def main():
     if worker:
         work.put(None)
         worker.join()
-    print(f"GATE WALL: {time.time() - wall0:.1f}s")
-    print("FAILURES:", failures if failures else "none")
-    return 1 if failures else 0
+    return failures
+
+
+def _lpt_bins(names: list[str], n: int) -> list[list[str]]:
+    """Longest-processing-time greedy: heaviest query to the lightest bin."""
+    bins: list[list[str]] = [[] for _ in range(n)]
+    loads = [0.0] * n
+    for name in sorted(names, key=lambda q: -_WEIGHTS.get(q, 3.0)):
+        i = loads.index(min(loads))
+        bins[i].append(name)
+        loads[i] += _WEIGHTS.get(name, 3.0)
+    return [b for b in bins if b]
+
+
+def main():
+    only = set(sys.argv[1:])
+    wall0 = time.time()
+    procs = int(os.environ.get("ORACLE_PROCS", "2"))
+    child = os.environ.get("ORACLE_CHILD", "") == "1"
+
+    if only or child or procs <= 1:
+        failures = run_queries(only or None)
+        if child:
+            # parent aggregates via exit code + a machine-readable line
+            print("CHILD FAILURES:", ",".join(failures) if failures else "-",
+                  flush=True)
+            return 1 if failures else 0
+        print(f"GATE WALL: {time.time() - wall0:.1f}s")
+        print("FAILURES:", failures if failures else "none")
+        return 1 if failures else 0
+
+    names = list(entrymod.queries())
+    bins = _lpt_bins(names, procs)
+    env = {**os.environ, "ORACLE_CHILD": "1"}
+    children = [
+        subprocess.Popen([sys.executable, os.path.abspath(__file__), *b], env=env)
+        for b in bins
+    ]
+    rc = [p.wait() for p in children]
+    print(f"GATE WALL: {time.time() - wall0:.1f}s ({len(bins)} workers)")
+    print("FAILURES:", "none" if not any(rc)
+          else f"see CHILD FAILURES lines above ({sum(1 for r in rc if r)} "
+               f"worker(s) reported failures)")
+    return 1 if any(rc) else 0
 
 
 if __name__ == "__main__":
