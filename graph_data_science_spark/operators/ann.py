@@ -155,14 +155,21 @@ def centroid_components(c: int, dim: int, seed: int = 42) -> list[float]:
     return [x / nrm for x in raw]
 
 
-def _cell_dots(vec: Column, dim: int, n_centroids: int, seed: int) -> Column:
-    """array of dot(vec, unit_centroid_c) for c in [0, n_centroids) —
-    argmax over it is the cosine-nearest cell (||vec|| is constant
-    across cells). Left-to-right fold order matches DuckDB's
+def _unit(c: list[float]) -> list[float]:
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+    return [float(x) / nrm for x in c]
+
+
+def _cell_dots(vec: Column, codebook: list[list[float]]) -> Column:
+    """array of dot(vec, unit_centroid_c) per codebook entry — argmax
+    over it is the cosine-nearest cell (||vec|| is constant across
+    cells). Left-to-right fold order matches DuckDB's
     list_dot_product, so the argmax is engine-portable."""
     dots = []
-    for c in range(n_centroids):
-        cen = F.array(*[F.lit(x) for x in centroid_components(c, dim, seed)])
+    for cen_vals in codebook:
+        cen = F.array(*[F.lit(x) for x in cen_vals])
         dots.append(
             F.aggregate(F.zip_with(vec, cen, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
         )
@@ -177,6 +184,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -190,23 +198,30 @@ def ivf_topk(
     join hits n_probe/n_centroids of the corpus instead of all of it,
     and the cell column is a natural partition key for the stored
     index. Recall < 1 by construction, tunable via (n_centroids,
-    n_probe). Seeded hash-derived centroids stand in for a trained
-    k-means codebook (operators/kmeans.py can supply trained centroids
-    at deployment; the plumbing is identical) and keep the whole path
-    deterministic + oracle-replayable.
+    n_probe).
+
+    centroids: a trained coarse-quantizer codebook — pass
+    kmeans(...).centroids to search data-adapted cells (unit-normalized
+    here; cell = cosine-nearest). Default None uses seeded hash-derived
+    centroids, which keep the whole path deterministic +
+    oracle-replayable (the gate's ann_ivf_topk inlines them in SQL).
     """
+    if centroids is not None:
+        codebook = [_unit(c) for c in centroids]
+    else:
+        codebook = [centroid_components(c, dim, seed) for c in range(n_centroids)]
     base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
     # cell = argmax dot; array_position takes the FIRST max -> ties to
     # the smallest cell id (oracle: ORDER BY dot DESC, cell ASC LIMIT 1)
-    b_dots = _cell_dots(F.col("nv"), dim, n_centroids, seed)
+    b_dots = _cell_dots(F.col("nv"), codebook)
     assigned = base.withColumn(
         "cell", (F.array_position(b_dots, F.array_max(b_dots)) - 1).cast("long")
     )
 
     q_dots = q.select(
-        "query_id", "qv", F.posexplode(_cell_dots(F.col("qv"), dim, n_centroids, seed))
+        "query_id", "qv", F.posexplode(_cell_dots(F.col("qv"), codebook))
         .alias("cell", "dot")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cell"))

@@ -88,6 +88,27 @@ def test_ivf_topk_near_duplicates_and_probe_widening(spark, vecs):
     assert all_[1] >= one[1]
 
 
+def test_ivf_topk_trained_codebook(spark, vecs):
+    # a kmeans-trained coarse quantizer drops into ivf_topk: the near
+    # dups of vector 0 share its (cosine-nearest) trained cell, and a
+    # full probe over the trained cells equals brute force
+    from graph_data_science_spark.operators.kmeans import kmeans
+
+    trained = kmeans(vecs, "embedding", k=4, max_iterations=5,
+                     id_col="vec_id").centroids
+    queries = vecs.filter(F.col("vec_id") == 0)
+    got = ivf_topk(vecs, queries, dim=DIM, k=3, n_probe=1,
+                   centroids=trained).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert set(ids[:2]) == {40, 41}
+    full = ivf_topk(vecs, queries, dim=DIM, k=3, n_probe=len(trained),
+                    centroids=trained).collect()
+    brute = brute_force_topk(vecs, queries, k=3).collect()
+    assert sorted((r["neighbor_id"], r["rnk"]) for r in full) == sorted(
+        (r["neighbor_id"], r["rnk"]) for r in brute
+    )
+
+
 def test_embedding_near_duplicates(spark, vecs):
     pairs = {(r["a"], r["b"]) for r in
              embedding_near_duplicates(vecs, dim=DIM, threshold=0.999).collect()}
