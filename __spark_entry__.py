@@ -1563,6 +1563,91 @@ def _docs_enrich_oracle_sql() -> str:
     """
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events stream table
+    (operators/events.session_stats, 30-min gap): per-session event
+    count, start, duration, value total. Session math is exact integer
+    micros (unix_micros vs epoch_us) — engine-portable, no float epoch."""
+    from graph_data_science_spark.operators.events import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+def _events_sessions_oracle_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+    ), flags AS (
+        SELECT user_id, event_id, us, value,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, us, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_idx
+        FROM flags
+    )
+    SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+           MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us,
+           ROUND(SUM(value), 5) + 0.0 AS total_value
+    FROM sess GROUP BY user_id, session_idx
+    """
+
+
+def _q_events_funnel(spark, sf_dir):
+    """First-touch ordered-conversion funnel view -> click -> purchase
+    (operators/events.funnel): n_users converting through each prefix."""
+    from graph_data_science_spark.operators.events import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(ev, steps=["view", "click", "purchase"])
+
+
+def _events_funnel_oracle_sql() -> str:
+    return """
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS c0,
+               CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                    THEN 1 ELSE 0 END AS c1,
+               CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                         AND t2 IS NOT NULL AND t2 > t1
+                    THEN 1 ELSE 0 END AS c2
+        FROM f
+    )
+    SELECT 0::BIGINT AS step_idx, 'view' AS step, SUM(c0)::BIGINT AS n_users FROM c
+    UNION ALL SELECT 1::BIGINT, 'click', SUM(c1)::BIGINT FROM c
+    UNION ALL SELECT 2::BIGINT, 'purchase', SUM(c2)::BIGINT FROM c
+    """
+
+
+def _q_events_rollup(spark, sf_dir):
+    """Tumbling 60-min rollup per event type (operators/events.
+    event_rollup): integer-modulo bucket starts in micros, pure groupBy."""
+    from graph_data_science_spark.operators.events import event_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    return event_rollup(ev, bucket_minutes=60)
+
+
+def _events_rollup_oracle_sql() -> str:
+    return """
+    SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+           event_type, COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 5) + 0.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """
+
+
 def _q_bfs(spark, sf_dir):
     """gds.bfs hop distances from the min custkey over the undirected
     customer-supplier slice (level semantics; unreachable rows dropped)."""
@@ -2466,6 +2551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample_rwr": _q_sample_rwr,
         "graph_k_spanning_tree": _q_k_spanning_tree,
         "docs_enrich": _q_docs_enrich,
+        "events_sessions": _q_events_sessions,
+        "events_funnel": _q_events_funnel,
+        "events_rollup": _q_events_rollup,
         # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
@@ -3103,6 +3191,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_sample_rwr": _sample_rwr_oracle_sql(),
         "graph_k_spanning_tree": _k_spanning_tree_oracle_sql(),
         "docs_enrich": _docs_enrich_oracle_sql(),
+        "events_sessions": _events_sessions_oracle_sql(),
+        "events_funnel": _events_funnel_oracle_sql(),
+        "events_rollup": _events_rollup_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -67,7 +67,8 @@ _WEIGHTS = {
     "graph_conductance": 1.2, "graph_degree": 1.1, "graph_scale_minmax": 1.1,
     "graph_knn_filtered": 0.9, "graph_scale_stdscore": 0.9,
     "graph_scale_l2norm": 0.9, "graph_degree_weighted": 0.8,
-    "ann_topk_cosine": 0.7, "docs_enrich": 0.6, "text_quality": 0.4,
+    "ann_topk_cosine": 0.7, "docs_enrich": 0.6, "events_sessions": 2.5, "events_funnel": 1.5,
+    "events_rollup": 0.8, "text_quality": 0.4,
     "dedup_exact": 0.3, "text_langid": 0.3, "text_token_count": 0.2,
     "text_fingerprint": 0.2,
 }
