@@ -43,8 +43,10 @@ RUNS_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
                          "BENCH", "scaling_runs.jsonl")
 
 SIZES = {
-    "small": {"nodes": 100_000, "avg_deg": 8, "docs": 5_000, "vecs": 2_000},
-    "big": {"nodes": 1_000_000, "avg_deg": 8, "docs": 500_000, "vecs": 200_000},
+    "small": {"nodes": 100_000, "avg_deg": 8, "docs": 5_000, "vecs": 2_000,
+              "events": 50_000},
+    "big": {"nodes": 1_000_000, "avg_deg": 8, "docs": 500_000,
+            "vecs": 200_000, "events": 5_000_000},
 }
 
 _VOCAB = [  # retained for reference docs realism (unused by synth_docs now)
@@ -123,6 +125,35 @@ def synth_vecs(spark, n: int, dim: int = EMB_DIM, seed: int = 7):
     )
 
 
+def synth_events(spark, n: int, seed: int = 13):
+    """Deterministic event log with a SCALE-INVARIANT session shape:
+    user_id = id % users (users = n/100, so per-user volume is constant
+    and the KEY COUNT scales — per-key window state stays O(1)); a
+    user's k-th event (k = id // users) lands at t(k) = 60k seconds
+    plus a 3600-s jump every 20th event, so every user has exactly five
+    20-event sessions under the 30-min gap rule at ANY n. Timestamps
+    are monotone in event_id (batch/time order holds); value/type are
+    hash-derived."""
+    users = max(n // 100, 1)
+    k = F.floor(F.col("id") / users)
+    ts = F.timestamp_seconds(
+        F.lit(1704067200) + k * 60 + F.floor(k / 20) * 3600
+    ).cast("timestamp_ntz")
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ts.alias("ts"),
+        F.pmod(F.col("id"), F.lit(users)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error")),
+            (F.pmod(F.xxhash64(F.lit(seed + 2), F.col("id")), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64(F.lit(seed + 3), F.col("id")), F.lit(10000)) / 100.0)
+        .alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def node_props(nodes, dim: int = 8, seed: int = 11):
     """8-wide hash-float property vector per node (knn input)."""
     vec = F.transform(
@@ -134,7 +165,9 @@ def node_props(nodes, dim: int = 8, seed: int = 11):
 
 
 def build_queries():
-    from graph_data_science_spark.operators import ann, dedup as dd, text as tx
+    from graph_data_science_spark.operators import (
+        ann, dedup as dd, events as ev, text as tx,
+    )
     from graph_data_science_spark.operators.betweenness import betweenness
     from graph_data_science_spark.operators.degree import degree_centrality
     from graph_data_science_spark.operators.dijkstra import dijkstra
@@ -192,6 +225,12 @@ def build_queries():
         "ann_embedding_neardup": lambda c: ann.embedding_near_duplicates(
             c["vecs"], dim=EMB_DIM, threshold=0.35, planes=None, tables=2
         ).count(),
+        "events_sessions": lambda c: ev.session_stats(
+            c["events"], gap_minutes=30
+        ).count(),
+        "events_rollup": lambda c: ev.event_rollup(
+            c["events"], bucket_minutes=60
+        ).count(),
     }
 
 
@@ -221,7 +260,10 @@ def main():
         vecs.count()
         props = node_props(g.nodes).persist()
         props.count()
-        ctx = {"g": g, "docs": docs, "vecs": vecs, "props": props}
+        events = synth_events(spark, cfg["events"]).persist()
+        events.count()
+        ctx = {"g": g, "docs": docs, "vecs": vecs, "props": props,
+               "events": events}
         if size == sizes[0]:
             # one untimed warm-up (JIT/codegen/Arrow worker startup)
             next(iter(queries.values()))(ctx)
