@@ -1648,6 +1648,79 @@ def _events_rollup_oracle_sql() -> str:
     """
 
 
+def _q_yens(spark, sf_dir):
+    """gds.shortestPath.yens k=5 loopless shortest paths over the
+    custkey<60 undirected slice, source=min / target=max custkey.
+    Tie-free weights via the md5-coin convention (weight = lineitem
+    count + md5(src#dst)%997 / 99700 — unique fractions, so the k-path
+    SET and order are engine-deterministic). The oracle enumerates ALL
+    simple paths with cost <= 6 and <= 4 hops and takes the k cheapest;
+    that enumeration is complete for the top-k iff every returned cost
+    is < 5.0 (a 5-hop path costs >= 5 since every weight >= 1) — the
+    assert makes a silent divergence impossible."""
+    from graph_data_science_spark.operators.dijkstra import yens
+    from graph_data_science_spark.operators.influence import _md5_u32
+    from graph_data_science_spark.plans.graph import Orientation
+
+    edges = _cs_edges(spark, sf_dir).filter(F.col("src") < 60).withColumn(
+        "weight",
+        F.col("weight") + (_md5_u32(F.col("src"), F.col("dst")) % 997) / 99700.0,
+    )
+    src_t = edges.agg(F.min("src"), F.max("src")).collect()[0]
+    g = Graph.from_edges(edges, orientation=Orientation.UNDIRECTED)
+    res = yens(g, source=int(src_t[0]), target=int(src_t[1]), k=5)
+    rows = res.select(
+        "index",
+        F.array_join(F.transform("node_ids", lambda v: v.cast("string")), "->")
+        .alias("path"),
+        (F.round("total_cost", 4) + F.lit(0.0)).alias("total_cost"),
+    )
+    out = rows.collect()
+    assert len(out) == 5 and all(r["total_cost"] < 5.0 for r in out), (
+        "yens oracle enumeration bound violated - widen the oracle's "
+        "cost/hop caps")
+    return rows
+
+
+def _yens_oracle_sql() -> str:
+    return """
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT o_custkey AS src, l_suppkey + 100000 AS dst,
+             CAST(count(*) AS DOUBLE)
+             + (('0x' || substr(md5(o_custkey::VARCHAR || '#'
+                 || (l_suppkey + 100000)::VARCHAR), 1, 8))::BIGINT % 997)
+               / 99700.0 AS weight
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+      HAVING o_custkey < 60
+    ),
+    arcs AS MATERIALIZED (
+      SELECT src, dst, weight FROM base
+      UNION ALL SELECT dst AS src, src AS dst, weight FROM base
+    ),
+    ep AS (SELECT MIN(src) AS s, MAX(src) AS t FROM base),
+    walks AS (
+      SELECT s AS cur, [s] AS visited, 0.0::DOUBLE AS cost FROM ep
+      UNION ALL
+      SELECT a.dst, list_append(w.visited, a.dst), w.cost + a.weight
+      FROM walks w JOIN arcs a ON a.src = w.cur
+      WHERE NOT list_contains(w.visited, a.dst)
+        AND w.cost + a.weight <= 6.0
+        AND len(w.visited) <= 5
+        AND w.cur <> (SELECT t FROM ep)
+    ),
+    ranked AS (
+      SELECT visited, cost,
+             row_number() OVER (ORDER BY cost) - 1 AS index
+      FROM walks WHERE cur = (SELECT t FROM ep)
+      ORDER BY cost LIMIT 5
+    )
+    SELECT index, list_aggregate(visited, 'string_agg', '->') AS path,
+           ROUND(cost, 4) + 0.0 AS total_cost
+    FROM ranked
+    """
+
+
 def _q_bfs(spark, sf_dir):
     """gds.bfs hop distances from the min custkey over the undirected
     customer-supplier slice (level semantics; unreachable rows dropped)."""
@@ -2554,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_funnel": _q_events_funnel,
         "events_rollup": _q_events_rollup,
+        "graph_yens": _q_yens,
         # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
@@ -3194,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _events_sessions_oracle_sql(),
         "events_funnel": _events_funnel_oracle_sql(),
         "events_rollup": _events_rollup_oracle_sql(),
+        "graph_yens": _yens_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM
