@@ -2287,6 +2287,94 @@ def _sample_rwr_oracle_sql() -> str:
     return f"WITH {','.join(ctes)} SELECT DISTINCT vid FROM ({visited})"
 
 
+_CNARW_P, _CNARW_LEN, _CNARW_WALKS, _CNARW_SEED, _CNARW_START = 0.15, 5, 3, 7, 8
+_CNARW_PART_BOUND = 120
+
+
+def _q_sample_cnarw(spark, sf_dir):
+    """gds.graph.sample.cnarw with the md5 coin family + integer
+    roulette on the partkey<120 co-occurrence graph (one-mode, so the
+    common-neighbor bias is nonzero — on bipartite graphs CNARW
+    degenerates to uniform). The oracle replays every restart decision
+    and every weighted pick via prefix sums over the (1+cn) integer
+    weights."""
+    from graph_data_science_spark.sources.sampling import sample_cnarw
+
+    edges = _part_edges(spark, sf_dir).filter(
+        (F.col("src") < _CNARW_PART_BOUND) & (F.col("dst") < _CNARW_PART_BOUND)
+    )
+    g = Graph.from_edges(edges)
+    starts = g.nodes.filter(F.col("vid") < _CNARW_START)
+    sub = sample_cnarw(g, starts, restart_probability=_CNARW_P,
+                       walk_length=_CNARW_LEN, walks_per_node=_CNARW_WALKS,
+                       seed=_CNARW_SEED, coin="md5")
+    return sub.nodes.select("vid")
+
+
+def _cnarw_oracle_sql() -> str:
+    """Walk replay with the CN-biased integer roulette: adjw = per-arc
+    weight 1 + common-out-neighbor count, cum = prefix sum over
+    ascending dst; per step restart iff md5 coin < p*2^32, else step to
+    the first neighbor whose cum exceeds md5 coin % total."""
+    p32 = int(_CNARW_P * (1 << 32))
+    sd = _CNARW_SEED
+    b = _CNARW_PART_BOUND
+    ctes = [
+        f"""lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey < {b}
+        )""",
+        """prs AS MATERIALIZED (
+            SELECT a.p AS pa, b.p AS pb FROM lp a JOIN lp b
+            ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        )""",
+        """e0 AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM prs
+            UNION ALL SELECT pb, pa FROM prs
+        )""",
+        """cn AS MATERIALIZED (
+            SELECT l1.src AS u, l2.src AS v, count(*) AS c
+            FROM e0 l1 JOIN e0 l2 ON l1.dst = l2.dst AND l1.src <> l2.src
+            GROUP BY 1, 2
+        )""",
+        """adjw AS MATERIALIZED (
+            SELECT e.src AS vid, e.dst, 1 + coalesce(c.c, 0) AS wt
+            FROM e0 e LEFT JOIN cn c ON c.u = e.src AND c.v = e.dst
+        )""",
+        """cum AS MATERIALIZED (
+            SELECT vid, dst, wt,
+                   SUM(wt) OVER (PARTITION BY vid ORDER BY dst
+                                 ROWS UNBOUNDED PRECEDING) AS cw
+            FROM adjw
+        )""",
+        "tot AS MATERIALIZED (SELECT vid, SUM(wt) AS total FROM adjw GROUP BY vid)",
+        f"""w0 AS MATERIALIZED (
+            SELECT n.vid::VARCHAR || '_' || s.w::VARCHAR AS walk_id,
+                   n.vid AS start, n.vid AS cur
+            FROM (SELECT src AS vid FROM e0 UNION SELECT dst FROM e0) n
+            CROSS JOIN (SELECT unnest(generate_series(0, {_CNARW_WALKS - 1})) AS w) s
+            WHERE n.vid < {_CNARW_START}
+        )""",
+    ]
+    for t in range(_CNARW_LEN):
+        rcoin = f"('0x' || substr(md5('cnarw#r#{sd}#' || q.walk_id || '#{t}'), 1, 8))::BIGINT"
+        icoin = f"('0x' || substr(md5('cnarw#i#{sd}#' || q.walk_id || '#{t}'), 1, 8))::BIGINT"
+        ctes.append(f"""w{t + 1} AS MATERIALIZED (
+            SELECT q.walk_id, q.start,
+                   CASE WHEN {rcoin} < {p32} THEN q.start
+                        WHEN q.total IS NULL THEN q.start
+                        ELSE (SELECT MIN(c.dst) FROM cum c
+                              WHERE c.vid = q.cur
+                                AND c.cw > ({icoin} % q.total))
+                        END AS cur
+            FROM (SELECT w.walk_id, w.start, w.cur, t.total
+                  FROM w{t} w LEFT JOIN tot t ON t.vid = w.cur) q
+        )""")
+    visited = " UNION ".join(
+        f"SELECT cur AS vid FROM w{t}" for t in range(_CNARW_LEN + 1))
+    return f"WITH {','.join(ctes)} SELECT DISTINCT vid FROM ({visited})"
+
+
 def _q_node2vec_smoke(spark, sf_dir):
     """node2vec smoke (rows-only): tiny SGNS run on the 2-out ring;
     embeddings are seeded-random floats (documented non-portability), so
@@ -2628,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_rollup": _q_events_rollup,
         "graph_yens": _q_yens,
+        "graph_sample_cnarw": _q_sample_cnarw,
         # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
@@ -3269,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _events_funnel_oracle_sql(),
         "events_rollup": _events_rollup_oracle_sql(),
         "graph_yens": _yens_oracle_sql(),
+        "graph_sample_cnarw": _cnarw_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

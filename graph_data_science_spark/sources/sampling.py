@@ -90,6 +90,7 @@ def sample_cnarw(
     walk_length: int = 10,
     walks_per_node: int = 5,
     seed: int = 42,
+    coin: str = "xxhash64",
 ) -> Graph:
     """Common-neighbor-aware random walk sampling (gds.graph.sample.cnarw,
     graph-sampling/.../samplers/rw/cnarw — CNARW, Li et al., public
@@ -102,7 +103,15 @@ def sample_cnarw(
     same shared-neighbor self-join node_similarity uses (bounded by
     Σ_c indeg(c)²; cap hubs upstream via filter_edges for skewed
     graphs). The biased pick folds a deterministic hash over the
-    cumulative weights — no RNG state, partition-invariant."""
+    cumulative weights — no RNG state, partition-invariant.
+
+    coin="md5" swaps both per-step coins for the engine-portable md5
+    family AND switches the roulette to INTEGER arithmetic (the 1+cn
+    weights are integral: r = md5 % total weight, integer
+    remaining-weight fold), so the graph_sample_cnarw DuckDB oracle
+    replays every pick exactly — integer compares cannot diverge
+    between the fold and the oracle's prefix-sum formulation the way a
+    float subtraction chain can."""
     # common neighbors per existing edge (u,v): count of w with u->w, v->w
     e = graph.edges.select("src", "dst").distinct()
     l1 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -142,32 +151,54 @@ def sample_cnarw(
     visited = walkers.select(F.col("cur").alias("vid"))
     state = walkers.persist()
     p_scaled = int(restart_probability * (1 << 30))
+    p32 = int(restart_probability * (1 << 32))
     for step in range(walk_length):
         nbr = weighted_adj.select(F.col("vid").alias("cur"), "nbrs", "total_wt")
         joined = state.join(nbr, "cur", "left")
-        restart = (
-            F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("walk_id"), F.lit(step))),
-                   F.lit(1 << 30))
-            < p_scaled
-        )
-        # weighted pick: fold cumulative weights against a hash in
-        # [0, total_wt) — the deterministic analogue of roulette sampling
-        r = (
-            F.pmod(F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))),
-                   F.lit(1 << 30)).cast("double")
-            / F.lit(float(1 << 30))
-            * F.col("total_wt")
-        )
+        if coin == "md5":
+            from graph_data_science_spark.operators.influence import _md5_u32
+
+            restart = _md5_u32(F.lit("cnarw"), F.lit("r"), F.lit(str(seed)),
+                               F.col("walk_id"), F.lit(str(step))) < F.lit(p32)
+            # integer roulette: weights are integral (1 + cn), so
+            # r = coin % total and an integer remaining-weight fold are
+            # exact — replayable as a prefix-sum pick in the oracle
+            total_long = F.aggregate(
+                "nbrs", F.lit(0).cast("long"),
+                lambda a, x: a + x["wt"].cast("long"),
+            )
+            r = F.pmod(
+                _md5_u32(F.lit("cnarw"), F.lit("i"), F.lit(str(seed)),
+                         F.col("walk_id"), F.lit(str(step))),
+                total_long,
+            )
+            rem_is_long = True
+        else:
+            restart = (
+                F.pmod(F.abs(F.xxhash64(F.lit(seed + 1), F.col("walk_id"), F.lit(step))),
+                       F.lit(1 << 30))
+                < p_scaled
+            )
+            # weighted pick: fold cumulative weights against a hash in
+            # [0, total_wt) — the deterministic analogue of roulette sampling
+            r = (
+                F.pmod(F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step))),
+                       F.lit(1 << 30)).cast("double")
+                / F.lit(float(1 << 30))
+                * F.col("total_wt")
+            )
+            rem_is_long = False
+        wt_of = (lambda x: x["wt"].cast("long")) if rem_is_long else (lambda x: x["wt"])
         picked = F.aggregate(
             "nbrs",
             F.struct(r.alias("rem"), F.lit(None).cast("long").alias("pick")),
             lambda acc, x: F.when(acc["pick"].isNotNull(), acc)
             .when(
-                acc["rem"] < x["wt"],
+                acc["rem"] < wt_of(x),
                 F.struct(acc["rem"].alias("rem"), x["dst"].alias("pick")),
             )
             .otherwise(
-                F.struct((acc["rem"] - x["wt"]).alias("rem"),
+                F.struct((acc["rem"] - wt_of(x)).alias("rem"),
                          F.lit(None).cast("long").alias("pick"))
             ),
         )["pick"]
