@@ -2289,6 +2289,145 @@ def _sample_rwr_oracle_sql() -> str:
 
 _CNARW_P, _CNARW_LEN, _CNARW_WALKS, _CNARW_SEED, _CNARW_START = 0.15, 5, 3, 7, 8
 _CNARW_PART_BOUND = 120
+_MODOPT_PART_BOUND = 120
+_MODOPT_MAX_COLOR = 12  # sweep colors 0.._MODOPT_MAX_COLOR-1; asserted
+
+
+def _q_modopt(spark, sf_dir):
+    """gds.beta.modularityOptimization (one local-move sweep,
+    max_iterations=1) on the partkey<120 co-occurrence graph with the
+    md5 coloring coin. The oracle replays the k1-coloring rounds, then
+    the best-move sweep color class by color class — every Delta-Q score
+    is arithmetic over integral doubles (weights 2.0, k sums, m), so
+    scores are bit-identical across engines — then the min-member
+    relabel. The sweep order is ascending color; the oracle unrolls
+    colors 0..11 (absent colors are no-ops), asserted sufficient here."""
+    from graph_data_science_spark.operators.k1coloring import color_edges
+    from graph_data_science_spark.operators.louvain import modularity_optimization
+
+    edges = _part_edges(spark, sf_dir).filter(
+        (F.col("src") < _MODOPT_PART_BOUND) & (F.col("dst") < _MODOPT_PART_BOUND)
+    )
+    g = Graph.from_edges(edges)
+    # loud bound check for the oracle's static color unroll
+    both = g.edges.select("src", "dst")
+    max_color = color_edges(both, g.nodes.select("vid"), max_iterations=5,
+                            init_coin="md5").colors.agg(F.max("color")).collect()[0][0]
+    assert max_color < _MODOPT_MAX_COLOR, (
+        f"coloring used color {max_color} - widen _MODOPT_MAX_COLOR")
+    res = modularity_optimization(g, max_iterations=1, coloring_coin="md5")
+    return res.communities.select("vid", "community")
+
+
+def _modopt_oracle_sql() -> str:
+    """Relational replay of one modularityOptimization sweep: k1-color
+    init + 5 conflict rounds (identical to the k1coloring oracle, on
+    this graph), then for each color 0..11 in order the movers'
+    Delta-Q argmax (score desc, community asc; move iff score beats the
+    stay score by >1e-12), then min-member relabel."""
+    ctes = [
+        f"""lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey < {_MODOPT_PART_BOUND}
+        )""",
+        """prs AS MATERIALIZED (
+            SELECT a.p AS pa, b.p AS pb FROM lp a JOIN lp b
+            ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+        )""",
+        # canonical undirected edges: both 1.0-arcs merge to weight 2.0
+        "ce AS MATERIALIZED (SELECT pa AS src, pb AS dst, 2.0 AS weight FROM prs)",
+        """barc AS MATERIALIZED (
+            SELECT src, dst, weight FROM ce
+            UNION ALL SELECT dst, src, weight FROM ce
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS vid FROM barc GROUP BY 1)",
+        "kk AS MATERIALIZED (SELECT src AS vid, SUM(weight) AS k FROM barc GROUP BY 1)",
+        "mm AS MATERIALIZED (SELECT SUM(weight) AS m FROM ce)",
+        "eb AS MATERIALIZED (SELECT DISTINCT src, dst FROM barc WHERE src <> dst)",
+        "c0 AS MATERIALIZED (SELECT vid, "
+        "(('0x' || substr(md5('k1c#' || vid::VARCHAR), 1, 8))::BIGINT % 8) AS color "
+        "FROM nodes)",
+        """t0 AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c0 a ON a.vid = eb.src JOIN c0 b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""",
+    ]
+    for r in range(1, 6):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+            SELECT eb.src AS vid, list_sort(list(DISTINCT c.color)) AS nc
+            FROM eb JOIN t{r - 1} t ON t.vid = eb.src
+                    JOIN c{r - 1} c ON c.vid = eb.dst
+            GROUP BY eb.src
+        )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+            SELECT p.vid,
+                   COALESCE(
+                       (SELECT list_min(list_filter(
+                            generate_series(0, len(n.nc)),
+                            x -> NOT list_contains(n.nc, x)))
+                        FROM n{r} n WHERE n.vid = p.vid),
+                       p.color) AS color
+            FROM c{r - 1} p
+        )""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+            SELECT DISTINCT eb.src AS vid FROM eb
+            JOIN c{r} a ON a.vid = eb.src JOIN c{r} b ON b.vid = eb.dst
+            WHERE eb.src > eb.dst AND a.color = b.color
+        )""")
+    ctes.append("colors AS MATERIALIZED (SELECT vid, color FROM c5)")
+    ctes.append("a0 AS MATERIALIZED (SELECT vid, vid AS community FROM nodes)")
+    for ci in range(_MODOPT_MAX_COLOR):
+        prev = f"a{ci}"
+        ctes.append(f"""cand{ci} AS MATERIALIZED (
+            SELECT vid, c, SUM(k_in) AS k_in FROM (
+                SELECT b.src AS vid, a.community AS c, b.weight AS k_in
+                FROM barc b
+                JOIN colors mc ON mc.vid = b.src AND mc.color = {ci}
+                JOIN {prev} a ON a.vid = b.dst
+                UNION ALL
+                SELECT a.vid, a.community AS c, 0.0 AS k_in
+                FROM {prev} a JOIN colors mc ON mc.vid = a.vid
+                WHERE mc.color = {ci}
+            ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""best{ci} AS MATERIALIZED (
+            SELECT vid, c, community, score,
+                   MAX(CASE WHEN c = community THEN score END)
+                       OVER (PARTITION BY vid) AS stay_score,
+                   row_number() OVER (PARTITION BY vid
+                                      ORDER BY score DESC, c ASC) AS rn
+            FROM (
+                SELECT cand.vid, cand.c, a.community,
+                       cand.k_in - kk.k *
+                           (cm.tot - CASE WHEN cand.c = a.community
+                                          THEN kk.k ELSE 0.0 END)
+                           / (2.0 * (SELECT m FROM mm)) AS score
+                FROM cand{ci} cand
+                JOIN {prev} a ON a.vid = cand.vid
+                JOIN kk ON kk.vid = cand.vid
+                JOIN (SELECT a.community, SUM(kk.k) AS tot
+                      FROM {prev} a JOIN kk ON kk.vid = a.vid
+                      GROUP BY 1) cm ON cm.community = cand.c
+            )
+        )""")
+        ctes.append(f"""a{ci + 1} AS MATERIALIZED (
+            SELECT a.vid,
+                   COALESCE(
+                       CASE WHEN b.c <> b.community
+                                 AND b.score > b.stay_score + 1e-12
+                            THEN b.c ELSE b.community END,
+                       a.community) AS community
+            FROM {prev} a
+            LEFT JOIN (SELECT * FROM best{ci} WHERE rn = 1) b ON b.vid = a.vid
+        )""")
+    final = f"a{_MODOPT_MAX_COLOR}"
+    return (
+        f"WITH {','.join(ctes)} "
+        f"SELECT a.vid, r.new_c AS community FROM {final} a "
+        f"JOIN (SELECT community, MIN(vid) AS new_c FROM {final} GROUP BY 1) r "
+        f"ON r.community = a.community"
+    )
 
 
 def _q_sample_cnarw(spark, sf_dir):
@@ -2717,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "graph_yens": _q_yens,
         "graph_sample_cnarw": _q_sample_cnarw,
+        "graph_modopt": _q_modopt,
         # rows-only (no DuckDB oracle — documented non-SQL-expressible)
         "graph_node2vec": _q_node2vec_smoke,
         "graph_graphsage": _q_graphsage_smoke,
@@ -3359,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _events_rollup_oracle_sql(),
         "graph_yens": _yens_oracle_sql(),
         "graph_sample_cnarw": _cnarw_oracle_sql(),
+        "graph_modopt": _modopt_oracle_sql(),
         "graph_modularity": f"""
             WITH e AS MATERIALIZED ({_CS_EDGES_SQL}),
             comm AS (SELECT vid, vid %% 7 AS community FROM

@@ -103,6 +103,7 @@ def _local_move(
     tolerance: float,
     gamma: float,
     seed_assign: DataFrame | None,
+    coloring_coin: str = "xxhash64",
 ) -> tuple[DataFrame, float, int]:
     """One Louvain level: best-move sweeps over k1-coloring color classes
     (exactly the reference's conflict-avoidance: ModularityOptimization
@@ -136,7 +137,8 @@ def _local_move(
 
     # K1COLORING_MAX_ITERATIONS = 5 (ModularityOptimization.java:64);
     # residual conflicts after 5 rounds are tolerated, as in the reference
-    coloring = color_edges(both, node_ids, max_iterations=5)
+    coloring = color_edges(both, node_ids, max_iterations=5,
+                           init_coin=coloring_coin)
     color_list = [
         r["color"]
         for r in coloring.colors.select("color").distinct().orderBy("color").collect()
@@ -278,6 +280,7 @@ def modularity_optimization(
     tolerance: float = 1e-4,
     gamma: float = 1.0,
     seed: DataFrame | None = None,
+    coloring_coin: str = "xxhash64",
 ) -> ModularityOptimizationResult:
     """gds.beta.modularityOptimization — ONE level of local moving
     (ModularityOptimization.java), i.e. Louvain without the hierarchy.
@@ -315,7 +318,8 @@ def modularity_optimization(
                 F.coalesce(F.col("seed"), F.col("vid") + F.lit(max_seed + 1)).alias("community"),
             )
         assign, q, iters = _local_move(
-            edges, self_w, node_ids, m, max_iterations, tolerance, gamma, seed_assign
+            edges, self_w, node_ids, m, max_iterations, tolerance, gamma,
+            seed_assign, coloring_coin=coloring_coin,
         )
         if seed is None:
             relabel = assign.groupBy("community").agg(F.min("vid").alias("new_c"))

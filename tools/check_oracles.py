@@ -44,7 +44,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # Measured Spark seconds per query (round-5 full gate, local cores=8) —
 # only used to BALANCE the process shards; unknown names default to 3 s.
 _WEIGHTS = {
-    "graph_yens": 65.1, "graph_sample_cnarw": 22.3, "graph_louvain": 42.7, "graph_node2vec": 34.8, "graph_leiden": 29.3,
+    "graph_yens": 65.1, "graph_sample_cnarw": 22.3, "graph_modopt": 31.3, "graph_louvain": 42.7, "graph_node2vec": 34.8, "graph_leiden": 29.3,
     "graph_steiner": 25.2, "graph_pagerank": 18.0, "graph_astar": 13.2,
     "graph_k_spanning_tree": 13.0, "graph_longest_path": 9.6,
     "graph_spanning_tree": 8.7, "graph_betweenness_tree": 8.5,
